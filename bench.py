@@ -1,0 +1,93 @@
+"""Benchmark driver: training throughput (edges/s) of the flagship cn5/OCN
+config on a collab-scale graph, single chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+`vs_baseline` compares against an estimated reference throughput of the
+PyTorch/CUDA OCN stack on one A100 (BASELINE.md: no numbers are committed to
+the reference repo, and its target is ">=2x A100 PyG edges/s/chip").  The
+A100 estimate used here: ogbl-collab cn5 (batch 65536, ~1.2M train edges per
+epoch counting pos+neg) at roughly 20 s/epoch of train time on an 80 GB A100
+=> ~60k edges/s.  Until real A100 measurements are recorded, vs_baseline is
+measured_edges_per_s / 60_000.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ocn_tpu_jax_cache")
+
+import numpy as np
+
+A100_REF_EDGES_PER_S = 60_000.0
+
+
+def main():
+    import jax
+
+    from ocn_tpu.config import Config
+    from ocn_tpu.data.loaders import synthetic_dataset
+    from ocn_tpu.train.loop import Trainer
+
+    scale = float(os.environ.get("OCN_BENCH_SCALE", "1.0"))
+    batch = int(os.environ.get("OCN_BENCH_BATCH", "65536"))
+    steps = int(os.environ.get("OCN_BENCH_STEPS", "10"))
+
+    cfg = Config(
+        dataset="collab", predictor="cn5", model="gcn", mplayers=3,
+        hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
+        ln=True, res=True, jk=True, use_xlin=True, tailact=True,
+        gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
+        pad_deg=64, pad_deg2=64, linkbatchsize=4096,
+        dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
+    )
+    ds = synthetic_dataset("collab", seed=0, scale=scale)
+    tr = Trainer(cfg, ds)
+    state = tr.init_state(0)
+
+    e = ds.split_edge["train"]["edge"].shape[0]
+    rng = np.random.default_rng(0)
+    from ocn_tpu.sparse import build as B
+
+    pos = ds.split_edge["train"]["edge"].T
+    neg = B.negative_sampling(ds.edge_index, ds.n_nodes, e, rng)
+    perm = rng.permutation(e)[: batch * max(1, steps)]
+
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    idx = perm[:batch]
+    pe, ne = jnp.asarray(pos[:, idx]), jnp.asarray(neg[:, idx])
+    mp = None
+    if tr.edge2pos is not None:
+        mp = jnp.maximum(tr.edge2pos[jnp.asarray(idx)].reshape(-1), 0)
+    state, loss = tr.train_step(state, pe, ne, mp, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    done = 0
+    for i in range(steps):
+        idx = perm[(i % max(1, len(perm) // batch)) * batch :][:batch]
+        if len(idx) < batch:
+            idx = perm[:batch]
+        pe, ne = jnp.asarray(pos[:, idx]), jnp.asarray(neg[:, idx])
+        if tr.edge2pos is not None:
+            mp = jnp.maximum(tr.edge2pos[jnp.asarray(idx)].reshape(-1), 0)
+        state, loss = tr.train_step(state, pe, ne, mp, jax.random.fold_in(key, i))
+        done += 2 * batch  # pos + neg links scored per step
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    eps = done / dt
+
+    print(json.dumps({
+        "metric": "train_edges_per_s_cn5_collab",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps / A100_REF_EDGES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Single dataclass config replacing the reference's ~45 argparse flags
+duplicated across five drivers (reference NeighborOverlap_large.py:183-250 is
+the canonical list; SURVEY.md §2.6).  Field names keep the flag names so the
+README commands translate 1:1; `presets()` encodes the per-dataset README
+commands (README.md:24-98).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # data
+    dataset: str = "collab"
+    use_valedges_as_input: bool = False
+    load: Optional[str] = None
+    # schedule
+    epochs: int = 40
+    runs: int = 3
+    batch_size: int = 8192
+    testbs: int = 8192
+    linkbatchsize: int = -1          # <=0: auto (micro-batch inside the jitted step)
+    maskinput: bool = False
+    # encoder
+    model: str = "gcn"
+    mplayers: int = 1
+    hiddim: int = 32
+    ln: bool = False
+    res: bool = False
+    jk: bool = False
+    gnndp: float = 0.3
+    gnnedp: float = 0.3
+    xdp: float = 0.3
+    tdp: float = 0.3
+    gnnlr: float = 3e-4
+    encoder_stack: str = "ts"        # "ts" (GCN) | "ho" (GCN2/GCN3 pygho stack)
+    # predictor
+    predictor: str = "cn5"
+    nnlayers: int = 3
+    lnnn: bool = False
+    predp: float = 0.3
+    preedp: float = 0.3
+    prelr: float = 3e-4
+    beta: float = 1.0
+    alpha: float = 1.0
+    use_xlin: bool = False
+    tailact: bool = False
+    twolayerlin: bool = False
+    increasealpha: bool = False
+    splitsize: int = -1              # parity flag; XLA scan chunking supersedes it
+    # incomplete-CN family
+    probscale: float = 5.0
+    proboffset: float = 3.0
+    pt: float = 0.5
+    learnpt: bool = False
+    trndeg: int = -1
+    tstdeg: int = -1
+    cndeg: int = -1
+    depth: int = 1
+    cnprob: float = 0.0
+    # higher-order
+    adj2byblock: bool = False        # parity flag; candidate-frame SDDMM replaces it
+    sum: float = 1.0                 # cn7/cn8 empty-column fill (`--sum`)
+    polyfirst: int = 0
+    polysecond: int = 0
+    # artifacts
+    save_gemb: bool = False
+    savex: bool = False
+    loadx: bool = False
+    savemod: bool = False
+    loadmod: bool = False
+    checkpoint_dir: Optional[str] = None
+    # PLNLP
+    losstrick: str = "simple"
+    lossmargin: float = 0.0
+    lossweight: float = 1.0
+    # TPU-native knobs (no reference counterpart)
+    pad_deg: int = 64                # candidate-frame width K (neighbor cap)
+    pad_deg2: int = 64               # cap for dst/candidate neighbor lists (K2)
+    count2_chunk: int = 4096         # edge chunk for on-the-fly A^2 counts
+    cn2_counts: bool = False         # True => pygho-stack path-count values
+    exact_two_hop: bool = False      # SPD.py exactly-distance-2 semantics
+    dtype: str = "float32"           # "bfloat16" for MXU-friendly training
+    platform: str = ""               # "" = default backend; "cpu" forces CPU
+    seed: int = 0
+    data_root: str = "dataset"
+    synthetic_scale: float = 1.0
+    dp_devices: int = 1              # data-parallel mesh size (edge-batch DP)
+    tp_devices: int = 1              # tensor-parallel mesh size (hidden shard)
+
+    def predictor_kwargs(self) -> dict:
+        return dict(
+            dropout=self.predp, edrop=self.preedp, ln=self.lnnn,
+            cndeg=self.cndeg, use_xlin=self.use_xlin, tailact=self.tailact,
+            twolayerlin=self.twolayerlin, beta=self.beta, alpha=self.alpha,
+            probscale=self.probscale, proboffset=self.proboffset, pt=self.pt,
+            learnpt=self.learnpt, trndeg=self.trndeg, tstdeg=self.tstdeg,
+            depth=self.depth, sum=self.sum, polyfirst=self.polyfirst,
+            polysecond=self.polysecond, k=self.pad_deg,
+        )
+
+
+# per-dataset presets replicating the README commands (README.md:24-98)
+_PRESETS = {
+    # README.md:27 — Cora OCN
+    ("Cora", "cn5"): dict(
+        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
+        jk=True, gnndp=0.05, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
+        preedp=0.4, gnnlr=0.0043, prelr=0.0024, batch_size=1152,
+        model="puregcn", predictor="cn5", testbs=8192, epochs=100, runs=10,
+    ),
+    # README.md:31 — Citeseer OCN
+    ("Citeseer", "cn5"): dict(
+        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
+        jk=True, gnndp=0.5, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
+        preedp=0.4, gnnlr=0.0085, prelr=0.0078, batch_size=384,
+        model="puregcn", predictor="cn5", testbs=4096, epochs=100, runs=10,
+    ),
+    # README.md:35 — Pubmed OCN
+    ("Pubmed", "cn5"): dict(
+        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
+        gnndp=0.13, xdp=0.41, tdp=0.0, gnnedp=0.0, predp=0.10, preedp=0.4,
+        gnnlr=0.0097, prelr=0.0029, batch_size=2048, model="puregcn",
+        predictor="cn5", testbs=8192, epochs=100, runs=10,
+    ),
+    # README.md:41 — collab OCN
+    ("collab", "cn5"): dict(
+        predictor="cn5", dataset="collab", epochs=100, runs=10, hiddim=256,
+        mplayers=3, gnndp=0.25, ln=True, model="gcn", testbs=131072,
+        maskinput=True, jk=True, use_valedges_as_input=True, res=True,
+        use_xlin=True, tailact=True, batch_size=65536, gnnlr=0.001,
+        prelr=0.001, predp=0.3, preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25,
+    ),
+    # README.md:47 — ppa OCN
+    ("ppa", "cn5"): dict(
+        predictor="cn5", dataset="ppa", epochs=40, runs=10, hiddim=64,
+        mplayers=1, gnndp=0.1, model="gcn", maskinput=True, use_xlin=True,
+        tailact=True, batch_size=16384, testbs=8192, gnnlr=0.001, prelr=0.001,
+        predp=0.1, preedp=0.0, xdp=0.1, tdp=0.1, gnnedp=0.1, probscale=4.3,
+        proboffset=2.8, alpha=1.0, encoder_stack="ho", linkbatchsize=512,
+        cn2_counts=True,
+    ),
+    # README.md:53 — citation2 OCN
+    ("citation2", "cn5"): dict(
+        predictor="cn5", dataset="citation2", epochs=20, runs=10, hiddim=64,
+        mplayers=3, gnndp=0.3, model="puregcn", maskinput=True,
+        batch_size=32768, linkbatchsize=2048, testbs=8192, gnnlr=0.001,
+        prelr=0.001, predp=0.3, preedp=0.3, encoder_stack="ho",
+        cn2_counts=True,
+    ),
+    # README.md:59 — ddi OCN (the README's `--alpha 7.18--probscale` typo is
+    # resolved as alpha=7.18, probscale left default; SURVEY.md §5 defects)
+    ("ddi", "cn5"): dict(
+        predictor="cn5", dataset="ddi", epochs=100, runs=10, hiddim=224,
+        mplayers=3, gnndp=0.05, ln=True, model="puresum", testbs=24576,
+        maskinput=True, use_xlin=True, twolayerlin=True, res=True,
+        batch_size=24576, gnnlr=0.0021, prelr=0.0013, predp=0.05, preedp=0.05,
+        xdp=0.05, tdp=0.05, gnnedp=0.05, alpha=7.18, adj2byblock=True,
+    ),
+    # README.md:66-98 — OCNP (cn7) variants
+    ("Cora", "cn7"): dict(
+        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
+        jk=True, gnndp=0.05, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
+        preedp=0.4, gnnlr=0.0043, prelr=0.0024, batch_size=1152,
+        model="puregcn", predictor="cn7", testbs=8192, epochs=100, runs=10,
+    ),
+    ("Citeseer", "cn7"): dict(
+        mplayers=3, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
+        jk=True, gnndp=0.5, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
+        preedp=0.4, gnnlr=0.0085, prelr=0.0078, batch_size=384,
+        model="puremean", predictor="cn7", testbs=4096, epochs=100, runs=10,
+    ),
+    ("collab", "cn7"): dict(
+        predictor="cn7", dataset="collab", epochs=100, runs=10, hiddim=256,
+        mplayers=3, gnndp=0.25, ln=True, model="gin", testbs=131072,
+        maskinput=True, use_valedges_as_input=True, res=True, use_xlin=True,
+        tailact=True, batch_size=65536, gnnlr=0.001, prelr=0.001, predp=0.3,
+        preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25, jk=True,
+    ),
+}
+
+
+def presets(dataset: str, predictor: str = "cn5", **overrides) -> Config:
+    base = dict(_PRESETS.get((dataset, predictor), {}))
+    base["dataset"] = dataset
+    base["predictor"] = predictor
+    base.update(overrides)
+    return Config(**base)

@@ -1,0 +1,99 @@
+"""cn6 — 3-hop orthogonalized CN predictor.
+
+Reference `CNLinkPredictor3hopCNs` (model.py:2447-2954).  Takes cn1, cn2, cn3
+frames (all on the shared src-candidate layout) and runs a double
+Gram-Schmidt:
+
+1. ncn1 = colnorm_quirk(cn1)                               (model.py:2547-2560)
+2. EMA <cn2, ncn1>; cn2 <- cn2 - nip*ncn1; plain colnorm   (:2637-2726)
+3. EMA <cn3, ncn1>; EMA <cn3, ncn2>                        (:2813-2861)
+4. cn3 <- cn3 - nip1*ncn1 - nip2*ncn2; plain colnorm       (:2839-2932)
+5. head: lin(a0*xcn1 + a1*xcn2 + a2*xcn3 + beta*xij)       (:2946-2948)
+
+Faithful quirk: all three inner products share ONE running-mean buffer
+(`innerprod1` reuses self.innerprod / self.n, model.py:2524-2533), so each
+forward steps the same EMA three times, and both cn3 projections divide by
+max|ncn1| (model.py:2848-2856).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ocn_tpu.nn.mlp import CNAggMLP, HeadMLP, XijMLP
+from ocn_tpu.ops.frame import CNFrame
+from ocn_tpu.ops.ortho import colnorm_plain, colnorm_quirk
+from ocn_tpu.sparse.csr import Graph
+
+
+class OCN3HopPredictor(nn.Module):
+    hidden: int
+    out: int = 1
+    dropout: float = 0.3
+    edrop: float = 0.0
+    ln: bool = False
+    cndeg: int = -1
+    use_xlin: bool = False
+    tailact: bool = False
+    twolayerlin: bool = False
+    beta_init: float = 1.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        g: Graph,
+        cn1: CNFrame,
+        cn2: CNFrame,
+        cn3: CNFrame,
+        tar_ei: jax.Array,
+        training: bool = False,
+    ) -> jax.Array:
+        det = not training
+        beta = self.param("beta", nn.initializers.constant(self.beta_init), (1,))
+        alpha = self.param("alpha", nn.initializers.ones, (3,))
+        ema = self.variable("ema", "innerprod", lambda: jnp.zeros(()))
+        nvar = self.variable("ema", "n", lambda: jnp.zeros((), jnp.int32))
+
+        ema_v, n_v = ema.value, nvar.value
+
+        def ema_step(batch_inner):
+            nonlocal ema_v, n_v
+            if training:
+                n_v = n_v + 1
+                b = 1.0 / n_v.astype(jnp.float32)
+                ema_v = (1.0 - b) * ema_v + b * batch_inner
+            return ema_v
+
+        ncn1 = colnorm_quirk(cn1, 0.0)
+        scale = jnp.max(jnp.abs(ncn1.val))
+
+        inner0 = ema_step(cn2.inner(ncn1))
+        nip0 = jnp.where(scale > 0, inner0 / scale, inner0)
+        ocn2 = colnorm_plain(cn2.with_values(
+            jnp.where(cn2.mask | ncn1.mask, cn2.val - nip0 * ncn1.val, 0.0)))
+
+        inner1 = ema_step(cn3.inner(ncn1))
+        inner2 = ema_step(cn3.inner(ocn2))
+        nip1 = jnp.where(scale > 0, inner1 / scale, inner1)
+        nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
+        union3 = cn3.mask | ncn1.mask | ocn2.mask
+        ocn3 = colnorm_plain(cn3.with_values(
+            jnp.where(union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)))
+
+        if training and not self.is_initializing():
+            ema.value = ema_v
+            nvar.value = n_v
+
+        xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(ncn1.matmul(x), det)
+        xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(ocn2.matmul(x), det)
+        xcn3 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(ocn3.matmul(x), det)
+        xij = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)(
+            x[tar_ei[0]] * x[tar_ei[1]], det
+        )
+        a = jnp.cumprod(jax.nn.sigmoid(alpha))
+        z = a[0] * xcn1 + a[1] * xcn2 + a[2] * xcn3 + beta * xij
+        return HeadMLP(
+            self.hidden, self.out, self.dropout, self.ln, self.twolayerlin
+        )(z, det)

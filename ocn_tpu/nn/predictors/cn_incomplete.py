@@ -1,0 +1,167 @@
+"""Incomplete-graph CN predictors: cn2 / cn4 (and the recursion machinery).
+
+Reference `IncompleteCN1Predictor` (cn2, model.py:843-1147) and its
+memory-tuned twin `IncompleteCN1PredictorSaveMemory` (cn4, model.py:1532-1886
+— identical math with manual `del`/`empty_cache` interleaving, which XLA's
+liveness analysis makes moot, so cn4 is an alias here).
+
+Mechanism (model.py:888-1131): besides the hard CN set, take the residual
+sets res1 = N(i)\\N(j) and res2 = N(j)\\N(i) (degree-capped to
+trainresdeg/testresdeg).  Each residual entry (e, k) is a *potential* CN if
+the missing edge (j_e, k) (resp. (i_e, k)) existed; score those candidate
+edges with this same predictor at depth-1 under stop_gradient
+(model.py:926-946), convert scores to probabilities with the Bayes-odds
+clamp (model.py:884-886)
+
+    p0 = sigmoid(scale * (prob - offset));   p = alpha2 * pt*p0 / (pt*p0 + 1-p0)
+
+(optionally a learnable per-edge pt via `ptlin(xij)`, model.py:947-950),
+weight the residual entries by those probabilities, run the cn5-style
+orthogonalization of res2 against column-normalized res1 on their (disjoint)
+union pattern (model.py:960-1117), and add both aggregates to the hard-CN
+aggregate.  The static recursion depth unrolls at trace time; `splitsize`
+chunking (model.py:936-946) is unnecessary under XLA and subsumed by the
+static caps.
+
+Because the residual patterns are disjoint, the reference's Hadamard inner
+product between res2 and normalized-res1 is identically zero — the EMA state
+only decays.  This is preserved bit-for-bit.
+
+`alpha2` (the ramp set by `--increasealpha` through `setalpha`,
+model.py:1133-1135) lives in the mutable "sched" collection so the train loop
+can overwrite it per epoch.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ocn_tpu.nn.mlp import CNAggMLP, HeadMLP, XLin, XijMLP
+from ocn_tpu.ops.frame import CNFrame, cn_residual_frames
+from ocn_tpu.ops.ortho import colnorm_plain, colnorm_quirk
+from ocn_tpu.ops.sample import sample_frame
+from ocn_tpu.sparse.csr import Graph
+
+
+class IncompleteCNPredictor(nn.Module):
+    """cn2/cn4.  Builds its own CN/residual frames from (g, tar_ei)."""
+
+    hidden: int
+    out: int = 1
+    dropout: float = 0.3
+    edrop: float = 0.0
+    ln: bool = False
+    cndeg: int = -1
+    use_xlin: bool = False
+    tailact: bool = False
+    twolayerlin: bool = False
+    beta_init: float = 1.0
+    alpha_init: float = 1.0
+    scale: float = 5.0
+    offset: float = 3.0
+    trainresdeg: int = 8
+    testresdeg: int = 128
+    pt: float = 0.5
+    learnablept: bool = False
+    depth: int = 1
+    k: int = 32  # candidate-frame width (neighbor cap)
+
+    def setup(self):
+        self.beta = self.param(
+            "beta", nn.initializers.constant(self.beta_init), (1,))
+        self.alpha = self.param("alpha", nn.initializers.ones, (3,))  # parity
+        self.alpha2 = self.variable(
+            "sched", "alpha2", lambda: jnp.asarray(self.alpha_init, jnp.float32))
+        self.ema = self.variable("ema", "innerprod", lambda: jnp.zeros(()))
+        self.nvar = self.variable("ema", "n", lambda: jnp.zeros((), jnp.int32))
+        self.xijlin = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)
+        self.xlin = XLin(self.hidden, self.dropout, self.ln)
+        self.xcnlin = CNAggMLP(self.hidden, self.dropout, self.ln, False)
+        self.head = HeadMLP(
+            self.hidden, self.out, self.dropout, self.ln, self.twolayerlin)
+        if self.learnablept:
+            self.ptlin1 = nn.Dense(self.hidden)
+            self.ptlin2 = nn.Dense(1)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        g: Graph,
+        tar_ei: jax.Array,
+        training: bool = False,
+        depth: Optional[int] = None,
+    ) -> jax.Array:
+        depth = self.depth if depth is None else depth
+        det = not training
+
+        if training and self.edrop > 1e-6:
+            g = g.drop_edges(self.make_rng("dropout"), self.edrop)
+        sample_key = (
+            self.make_rng("sample") if training and self.has_rng("sample") else None
+        )
+
+        xij_raw = x[tar_ei[0]] * x[tar_ei[1]]
+        xij = self.xijlin(xij_raw, det)
+        x_aug = x + (self.xlin(x, det) if self.use_xlin else 0.0)
+
+        resdeg = self.trainresdeg if training else self.testresdeg
+        kk = jax.random.split(sample_key, 4) if sample_key is not None else [None] * 4
+        cn, res1, res2 = cn_residual_frames(g, tar_ei, self.k, kk[0])
+        if self.cndeg > 0:
+            cn = sample_frame(cn, self.cndeg, kk[1])
+        xcn = cn.matmul(x_aug)
+
+        if depth > 0:
+            if resdeg > 0:
+                res1 = sample_frame(res1, resdeg, kk[2])
+                res2 = sample_frame(res2, resdeg, kk[3])
+
+            # --- recursive scoring of potential CN edges (model.py:924-946)
+            def score_residual(res: CNFrame, anchor: jax.Array) -> jax.Array:
+                b, r = res.ids.shape
+                cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
+                anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
+                ei = jnp.stack([anchors, cand])
+                # reference scores under torch.no_grad in eval-mode semantics
+                prob = self(x, g, ei, training=False, depth=depth - 1)
+                return jax.lax.stop_gradient(prob.reshape(b, r))
+
+            prob1 = score_residual(res1, tar_ei[1])  # missing edge (j, k)
+            prob2 = score_residual(res2, tar_ei[0])  # missing edge (i, k)
+
+            def clampprob(prob, pt):
+                p0 = jax.nn.sigmoid(self.scale * (prob - self.offset))
+                return self.alpha2.value * pt * p0 / (pt * p0 + 1 - p0)
+
+            if self.learnablept:
+                pt = nn.sigmoid(self.ptlin2(nn.relu(self.ptlin1(xij))))
+                prob1, prob2 = clampprob(prob1, pt), clampprob(prob2, pt)
+            else:
+                prob1 = clampprob(prob1, self.pt)
+                prob2 = clampprob(prob2, self.pt)
+            res1 = res1.with_values(res1.val * prob1 * res1.mask)
+            res2 = res2.with_values(res2.val * prob2 * res2.mask)
+
+            # --- orthogonalization of res2 against ncn(res1) on the disjoint
+            # union pattern (model.py:960-1117); batch inner product == 0.
+            ncn1 = colnorm_quirk(res1, 0.0)
+            if training and not self.is_initializing():
+                new_n = self.nvar.value + 1
+                self.ema.value = (1.0 - 1.0 / new_n) * self.ema.value
+                self.nvar.value = new_n
+            inner = self.ema.value
+            scale = jnp.max(jnp.abs(ncn1.val))
+            nip = jnp.where(scale > 0, inner / scale, inner)
+            union = CNFrame(
+                ids=jnp.concatenate([res2.ids, res1.ids], axis=-1),
+                val=jnp.concatenate([res2.val, -nip * ncn1.val], axis=-1),
+                n_nodes=g.n_nodes,
+            )
+            ocn2 = colnorm_plain(union)
+            xcn = xcn + ocn2.matmul(x_aug) + ncn1.matmul(x_aug)
+
+        z = self.xcnlin(xcn, det)
+        return self.head(z * self.beta + xij, det)

@@ -1,0 +1,385 @@
+"""Candidate-frame common-neighbor extraction — the TPU-native CN kernel layer.
+
+The reference builds, per edge batch, *dynamic-nnz* sparse CN incidence
+matrices in one of two ways:
+
+* torch_sparse stack: bit-packed sort-merge intersection on gathered rows
+  (`adjoverlap` -> `spmoverlap_`, reference utils.py:146-285) after a
+  cuSPARSE SpGEMM `adj2 = spadj @ spadj` (NeighborOverlap_large.py:74).
+* pygho stack: `cn1 = Ei (.) Ej`, `Ej2 = Ej @ A`, `cn2 = Ei (.) Ej2`
+  (`get_cn1_cn2`, NeighborOverlap_large_ppa.py:147-173).
+
+Neither maps to XLA: shapes are data-dependent and the SpGEMM materializes an
+N x N matrix per batch.  The TPU-native formulation used here instead fixes a
+**candidate frame**: for a batch of target edges (i, j), the candidate common
+neighbors are exactly the (degree-capped, padded-to-K) neighbor list of i.
+Every CN matrix of the batch then shares one index array
+
+    ids : (B, K) int32   -- candidate node ids (sorted per row; sentinel = N)
+
+and differs only in its masked value array (B, K):
+
+    cn1.val[b, k] = w_i[b,k] * [ids[b,k] in N(j_b)]                  (1-hop CN)
+    cn2.val[b, k] = w_i[b,k] * f(A^2[j_b, ids[b,k]])                 (2-hop CN)
+
+where A^2[j, k] = |N(j) /\\ N(k)| is computed *on the fly* only for the B*K
+candidate pairs (an SDDMM against the implicit A^2 — no SpGEMM, no dynamic
+shapes), and w_i is the degree-cap importance weight replicating
+`sparsesample_reweight` (reference utils.py:109-143).  Masked adjacency
+entries (maskinput / DropAdj) carry val == 0 and are excluded by value, which
+reproduces the reference's per-batch edge removal exactly.
+
+All downstream predictor math (Hadamard, Gram-Schmidt on the union pattern,
+column normalization, cn @ h aggregation) becomes masked dense (B, K) ops —
+see ocn_tpu/ops/ortho.py and ocn_tpu/nn/predictors/.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ocn_tpu.sparse.csr import Graph
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class NeighborFrame:
+    """Padded, per-row-sorted neighbor lists for a batch of nodes.
+
+    ids  : (B, K) int32 — neighbor node ids, ascending per row; invalid lanes
+           hold the sentinel ``n_nodes`` so they sort to the end and never
+           match a real id in searchsorted lookups.
+    w    : (B, K) float32 — entry weights: 0 for invalid/masked lanes, 1 for
+           exact lanes, deg/K for degree-capped sampled rows (importance
+           reweighting identical to reference utils.py:130).
+    """
+
+    ids: jax.Array
+    w: jax.Array
+    n_nodes: int
+
+    def tree_flatten(self):
+        return (self.ids, self.w), (self.n_nodes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def k(self) -> int:
+        return self.ids.shape[-1]
+
+
+def gather_neighbors(
+    g: Graph,
+    nodes: jax.Array,
+    k: int,
+    key: Optional[jax.Array] = None,
+) -> NeighborFrame:
+    """Gather the (<=k)-padded neighbor list of each node in ``nodes``.
+
+    Rows with structural degree <= k are taken exactly (already sorted in the
+    CSR); rows with degree > k are uniformly sampled with replacement and
+    reweighted by deg/k, replicating `sparsesample_reweight` (reference
+    utils.py:109-143; the reference concedes this approximation via its
+    cndeg/trndeg/tstdeg flags).  If ``key`` is None, capped rows take their
+    first k entries deterministically (eval-friendly).
+
+    Adjacency values at the gathered positions multiply the weights, so
+    entries masked to 0 (maskinput / DropAdj) vanish from the frame.
+    """
+    nodes = nodes.astype(jnp.int32)
+    deg = g.deg[nodes]  # (B,)
+    start = g.indptr[nodes]  # (B,)
+    b = nodes.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    exact_off = jnp.minimum(lane, jnp.maximum(deg, 1)[:, None] - 1)
+    if key is not None:
+        u = jax.random.uniform(key, (b, k))
+        samp_off = jnp.minimum((u * deg[:, None]).astype(jnp.int32), deg[:, None] - 1)
+    else:
+        samp_off = exact_off
+    capped = deg > k
+    off = jnp.where(capped[:, None], samp_off, exact_off)
+    pos = jnp.minimum(start[:, None] + off, g.col.shape[0] - 1)
+
+    ids = g.col[pos]
+    vals = g.val[pos]
+    valid = lane < jnp.minimum(deg, jnp.where(capped, k, deg))[:, None]
+    w_row = jnp.where(capped, deg.astype(jnp.float32) / k, 1.0)
+    w = jnp.where(valid, w_row[:, None] * vals, 0.0)
+    ids = jnp.where(valid & (vals != 0), ids, g.n_nodes)
+
+    # (ids, w) must be jointly sorted by id so sorted-search intersection works;
+    # sampled rows are unsorted and masked lanes moved to the sentinel, so one
+    # static sort covers every case.
+    order = jnp.argsort(ids, axis=-1)
+    ids = jnp.take_along_axis(ids, order, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes)
+
+
+def _rowwise_membership(
+    query_ids: jax.Array, sorted_ids: jax.Array, sorted_w: jax.Array
+) -> jax.Array:
+    """For each query id, the weight of the matching entry of the sorted row
+    (0 if absent).  Shapes: query (B, Kq), sorted (B, Ks) -> (B, Kq).
+
+    Vectorized sorted-search — the XLA analogue of the packed-int64
+    `torch.searchsorted` intersection in reference utils.py:163-183.
+    """
+    idx = jax.vmap(jnp.searchsorted)(sorted_ids, query_ids)
+    idx = jnp.minimum(idx, sorted_ids.shape[-1] - 1)
+    hit = jnp.take_along_axis(sorted_ids, idx, axis=-1) == query_ids
+    wq = jnp.take_along_axis(sorted_w, idx, axis=-1)
+    return jnp.where(hit, wq, 0.0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CNFrame:
+    """A batch of CN incidence matrices in the shared candidate frame.
+
+    Represents the sparse (B, n_nodes) matrix whose row b has entries
+    ``(ids[b, k], val[b, k])`` for val != 0.  ``ids`` is shared by cn1/cn2/...
+    of the same batch, which makes their Hadamard products and pattern unions
+    elementwise.
+    """
+
+    ids: jax.Array  # (B, K) int32, sentinel n_nodes on empty lanes
+    val: jax.Array  # (B, K) float32, 0 == absent
+    n_nodes: int
+
+    def tree_flatten(self):
+        return (self.ids, self.val), (self.n_nodes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.val != 0
+
+    def with_values(self, val: jax.Array) -> "CNFrame":
+        return dataclasses.replace(self, val=val)
+
+    # -- the four sparse ops the predictors need ----------------------------
+    def col_sum(self) -> jax.Array:
+        """Per-node column sums over the batch: cn.sum(dim=0) in the
+        reference (model.py:2261).  Returns (n_nodes,)."""
+        flat_ids = self.ids.reshape(-1)
+        flat_val = self.val.reshape(-1)
+        s = jax.ops.segment_sum(flat_val, flat_ids, num_segments=self.n_nodes + 1)
+        return s[: self.n_nodes]
+
+    def scale_cols(self, colscale: jax.Array) -> "CNFrame":
+        """Multiply each entry by a per-node column factor (column
+        normalization, reference model.py:2272).  Sentinel lanes have val == 0
+        so the clamped gather is harmless."""
+        safe = colscale[jnp.minimum(self.ids, self.n_nodes - 1)]
+        return self.with_values(self.val * safe)
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        """cn @ x  ==  spmm_add(cn, x) (reference model.py:2426-2427).
+
+        Gather-then-contract: (B, K, H) rows of x weighted by val, reduced
+        over K on the MXU.  Sentinel lanes carry val == 0, so clamping their
+        gather to a real row contributes nothing.
+        """
+        rows = x[jnp.minimum(self.ids, self.n_nodes - 1)]  # (B, K, H)
+        return jnp.einsum(
+            "bk,bkh->bh", self.val, rows, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+    def inner(self, other: "CNFrame") -> jax.Array:
+        """<self, other> = sum of elementwise products over the shared
+        pattern — `spsphadamard(...).values.sum()` (reference model.py:2243).
+        Valid because both frames share ``ids``."""
+        return jnp.sum(self.val * other.val)
+
+
+def pad_features(x: jax.Array) -> jax.Array:
+    """Append one zero row so that sentinel id == n_nodes gathers zeros."""
+    return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+def cn_frames(
+    g: Graph,
+    tar_ei: jax.Array,
+    k: int,
+    k2: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    count2_chunk: int = 0,
+    with_cn2: bool = True,
+    cn2_counts: bool = False,
+    exact_two_hop: bool = False,
+    with_src: bool = False,
+):
+    """Build cn1 (and optionally cn2) frames for target edges ``tar_ei`` (2, B).
+
+    cn1[b, k] != 0  iff candidate k is a 1-hop common neighbor of (i, j)
+    (reference `adjoverlap(adj, adj, edge)`, utils.py:248-285).
+
+    cn2[b, k] != 0  iff candidate k is a neighbor of i and a 2-hop neighbor of
+    j, i.e. A^2[j, k] > 0 (reference `adjoverlap(adj, adj2, edge)` after the
+    SpGEMM at NeighborOverlap_large.py:74).  With ``cn2_counts`` the values
+    carry the length-2 path count A^2[j, k] itself, matching the pygho stack's
+    `spsphadamard(Ei, Ej @ A)` (NeighborOverlap_large_ppa.py:147-173); without
+    it they are binary like the torch_sparse stack.
+    ``exact_two_hop``: drop candidates that are also 1-hop neighbors of j,
+    matching SPD.py's exactly-distance-2 variant (SPD.py:65-95).
+
+    k2 caps the neighbor lists of j and of the candidates; count2 work is
+    chunked over the batch when ``count2_chunk`` > 0 to bound the (chunk, K,
+    K2) gather footprint.
+    """
+    k2 = k2 or k
+    keys = jax.random.split(key, 3) if key is not None else (None, None, None)
+    src = gather_neighbors(g, tar_ei[0], k, keys[0])
+    dst = gather_neighbors(g, tar_ei[1], k2, keys[1])
+
+    # --- cn1: membership of candidates (N(i)) in N(j) ----------------------
+    in_dst = _rowwise_membership(src.ids, dst.ids, dst.w)
+    cn1_val = jnp.where((in_dst != 0) & (src.w != 0), src.w, 0.0)
+    cn1 = CNFrame(ids=src.ids, val=cn1_val, n_nodes=g.n_nodes)
+    if not with_cn2:
+        return (cn1, None, src) if with_src else (cn1, None)
+
+    # --- cn2: A^2[j, cand] via on-the-fly SDDMM ----------------------------
+    def count2_block(cand_ids: jax.Array, dst_ids: jax.Array, dst_w: jax.Array,
+                     sample_key) -> jax.Array:
+        """|N(cand) /\\ N(j)| (weighted) for each candidate. cand (C, K)."""
+        c, kk = cand_ids.shape
+        nbr = gather_neighbors(g, cand_ids.reshape(-1), k2, sample_key)
+        nbr_ids = nbr.ids.reshape(c, kk * k2)
+        nbr_w = nbr.w.reshape(c, kk * k2)
+        # membership of each of the candidates' neighbors in N(j)
+        m = _rowwise_membership(nbr_ids, dst_ids, dst_w)
+        contrib = jnp.where(m != 0, nbr_w, 0.0)
+        return contrib.reshape(c, kk, k2).sum(-1)
+
+    if count2_chunk and count2_chunk < tar_ei.shape[1]:
+        b = tar_ei.shape[1]
+        nchunk = -(-b // count2_chunk)
+        pad = nchunk * count2_chunk - b
+        ci = jnp.pad(src.ids, ((0, pad), (0, 0)), constant_values=g.n_nodes)
+        di = jnp.pad(dst.ids, ((0, pad), (0, 0)), constant_values=g.n_nodes)
+        dw = jnp.pad(dst.w, ((0, pad), (0, 0)))
+        ci = ci.reshape(nchunk, count2_chunk, -1)
+        di = di.reshape(nchunk, count2_chunk, -1)
+        dw = dw.reshape(nchunk, count2_chunk, -1)
+        counts = jax.lax.map(
+            lambda args: count2_block(args[0], args[1], args[2], keys[2]), (ci, di, dw)
+        )
+        counts = counts.reshape(nchunk * count2_chunk, -1)[:b]
+    else:
+        counts = count2_block(src.ids, dst.ids, dst.w, keys[2])
+
+    if exact_two_hop:
+        counts = jnp.where(in_dst != 0, 0.0, counts)
+    base = counts if cn2_counts else (counts > 0).astype(jnp.float32)
+    cn2_val = jnp.where(src.w != 0, src.w * base, 0.0)
+    cn2 = CNFrame(ids=src.ids, val=cn2_val, n_nodes=g.n_nodes)
+    return (cn1, cn2, src) if with_src else (cn1, cn2)
+
+
+def cn3_frame(
+    g: Graph,
+    tar_ei: jax.Array,
+    src: NeighborFrame,
+    k2: int,
+    k3: int,
+    key: Optional[jax.Array] = None,
+    chunk: int = 256,
+    counts: bool = False,
+) -> CNFrame:
+    """3-hop CN frame: cn3[b, k] != 0 iff candidate k (in N(i)) has
+    A^3[j_b, k] > 0 (reference cn6 consumes `adjoverlap(adj, adj3, edge)`;
+    the registry-only 3-hop predictor, model.py:2447-2954).
+
+    Computed on the fly as A^3[j, k] = sum_{m in N(k)} |N(m) /\\ N(j)| with
+    degree caps k2 (candidate/dst neighborhoods) and k3 (second-hop lists),
+    chunked over the batch — the cubic analogue of the cn2 SDDMM.
+    """
+    b, k = src.ids.shape
+    dstf = gather_neighbors(g, tar_ei[1], k2, None)
+    nchunk = -(-b // chunk)
+    pad = nchunk * chunk - b
+    ci = jnp.pad(src.ids, ((0, pad), (0, 0)), constant_values=g.n_nodes)
+    di = jnp.pad(dstf.ids, ((0, pad), (0, 0)), constant_values=g.n_nodes)
+    dw = jnp.pad(dstf.w, ((0, pad), (0, 0)))
+
+    def block(args):
+        cand_ids, dst_ids, dst_w = args  # (C, K), (C, K2)
+        c = cand_ids.shape[0]
+        nbr = gather_neighbors(g, cand_ids.reshape(-1), k2, None)  # (C*K, K2)
+        nbr2 = gather_neighbors(g, nbr.ids.reshape(-1), k3, None)  # (C*K*K2, K3)
+        n2_ids = nbr2.ids.reshape(c, k * k2 * k3)
+        n2_w = (nbr2.w.reshape(c, k, k2, k3) * nbr.w.reshape(c, k, k2, 1)).reshape(
+            c, k * k2 * k3
+        )
+        m = _rowwise_membership(n2_ids, dst_ids, dst_w)
+        contrib = jnp.where(m != 0, n2_w, 0.0)
+        return contrib.reshape(c, k, k2 * k3).sum(-1)
+
+    counts3 = jax.lax.map(
+        block,
+        (
+            ci.reshape(nchunk, chunk, -1),
+            di.reshape(nchunk, chunk, -1),
+            dw.reshape(nchunk, chunk, -1),
+        ),
+    ).reshape(nchunk * chunk, -1)[:b]
+    base = counts3 if counts else (counts3 > 0).astype(jnp.float32)
+    val = jnp.where(src.w != 0, src.w * base, 0.0)
+    return CNFrame(ids=src.ids, val=val, n_nodes=g.n_nodes)
+
+
+def cn_residual_frames(
+    g: Graph,
+    tar_ei: jax.Array,
+    k: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[CNFrame, CNFrame, CNFrame]:
+    """CN set plus both residual sets for the incomplete-CN predictors.
+
+    Reference `adjoverlap(adj, adj, tar_ei, calresadj=True)` ->
+    `spmoverlap_notoverlap_` (utils.py:210-244):
+        cn   = N(i) /\\ N(j)     (src frame)
+        res1 = N(i) \\ N(j)      (src frame)
+        res2 = N(j) \\ N(i)      (dst frame)
+    The two residual patterns are provably disjoint as (B, n_nodes) sparse
+    matrices, which the incomplete predictors' union/Hadamard steps rely on.
+    """
+    keys = jax.random.split(key, 2) if key is not None else (None, None)
+    src = gather_neighbors(g, tar_ei[0], k, keys[0])
+    dst = gather_neighbors(g, tar_ei[1], k, keys[1])
+    in_dst = _rowwise_membership(src.ids, dst.ids, dst.w)
+    in_src = _rowwise_membership(dst.ids, src.ids, src.w)
+    cn = CNFrame(src.ids, jnp.where(in_dst != 0, src.w, 0.0), g.n_nodes)
+    res1 = CNFrame(src.ids, jnp.where(in_dst == 0, src.w, 0.0), g.n_nodes)
+    res2 = CNFrame(dst.ids, jnp.where(in_src == 0, dst.w, 0.0), g.n_nodes)
+    return cn, res1, res2
+
+
+def concat_frames(a: CNFrame, b: CNFrame) -> CNFrame:
+    """Union of two frames with disjoint patterns (lane concatenation)."""
+    return CNFrame(
+        ids=jnp.concatenate([a.ids, b.ids], axis=-1),
+        val=jnp.concatenate([a.val, b.val], axis=-1),
+        n_nodes=a.n_nodes,
+    )
+
+
+def embed_left(a: CNFrame, b: CNFrame) -> CNFrame:
+    """Frame holding a's values on the concat(a, b) lane layout."""
+    return CNFrame(
+        ids=jnp.concatenate([a.ids, b.ids], axis=-1),
+        val=jnp.concatenate([a.val, jnp.zeros_like(b.val)], axis=-1),
+        n_nodes=a.n_nodes,
+    )

@@ -1,0 +1,95 @@
+"""Column normalization + Gram-Schmidt orthogonalization of CN frames.
+
+This is the paper's core contribution (predictor cn5 "OCN"): decorrelate the
+2-hop CN matrix from the 1-hop one before aggregation.  The reference
+implements it with dynamic sparse tensors and a `torch.unique` union pattern
+(model.py:2261-2423); in the candidate frame both matrices share their index
+array, so the whole pipeline is masked elementwise math + two segment-sums.
+
+Every quirk of the reference math is preserved deliberately (SURVEY.md §7.3.4):
+
+* `colnorm_quirk`: after replacing zero column sums by 1, columns whose
+  (replaced) sum equals exactly 1 get inverse `empty_fill` — 0.0 for cn1/cn5
+  (model.py:617-620, 2263-2266), `args.sum` for cn7/cn8 (model.py:3116-3120).
+  This also zeroes real columns whose sum is exactly 1.
+* the EMA inner product is a running mean over *training* batches
+  (`innerprod1`, model.py:2241-2250): n += 1; m <- (1-1/n) m + (1/n) <cn2,
+  ncn1>.  It is carried as explicit state (flax "ema" collection).
+* the inner product is divided by max|ncn1| over the batch before the
+  projection step (model.py:2370-2376), falling back to the raw value when
+  the max is 0.
+* the projected cn2 is re-normalized with the *plain* rule (zero sums -> 1,
+  no !=1 trick; model.py:2405-2413).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ocn_tpu.ops.frame import CNFrame
+
+
+def colnorm_quirk(cn: CNFrame, empty_fill: float = 0.0) -> CNFrame:
+    """Column-normalize with the reference's cn1 rule (model.py:2261-2272)."""
+    s = cn.col_sum()
+    s_rep = jnp.where(s == 0, 1.0, s)
+    inv = jnp.where(s_rep != 1, 1.0 / s_rep, empty_fill)
+    return cn.scale_cols(inv)
+
+
+def colnorm_plain(cn: CNFrame) -> CNFrame:
+    """Column-normalize with the post-projection rule (model.py:2405-2413)."""
+    s = cn.col_sum()
+    inv = 1.0 / jnp.where(s == 0, 1.0, s)
+    return cn.scale_cols(inv)
+
+
+def ema_inner_product(
+    cn2: CNFrame, ncn1: CNFrame, ema: jax.Array, n: jax.Array, training: bool
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Running-mean inner product state update (model.py:2241-2250).
+
+    Returns (inner_product_to_use, new_ema, new_n).  In eval the stored value
+    is returned unchanged, exactly like the reference buffer.
+    """
+    if not training:
+        return ema, ema, n
+    batch_inner = cn2.inner(ncn1)
+    new_n = n + 1
+    beta = 1.0 / new_n.astype(jnp.float32)
+    new_ema = (1.0 - beta) * ema + beta * batch_inner
+    return new_ema, new_ema, new_n
+
+
+def gram_schmidt(
+    cn2: CNFrame, ncn1: CNFrame, inner_product: jax.Array
+) -> CNFrame:
+    """cn2 <- cn2 - (inner/scale) * ncn1 on the union pattern
+    (model.py:2343-2391).  Frames share ids, so the union is the elementwise
+    combination with mask = mask1 | mask2."""
+    scale = jnp.max(jnp.abs(ncn1.val))
+    nip = jnp.where(scale > 0, inner_product / scale, inner_product)
+    new_val = cn2.val - nip * ncn1.val
+    # keep explicit union mask: lanes absent from both stay exactly 0
+    union = cn2.mask | ncn1.mask
+    return cn2.with_values(jnp.where(union, new_val, 0.0))
+
+
+def orthogonalize(
+    cn1: CNFrame,
+    cn2: CNFrame,
+    ema: jax.Array,
+    n: jax.Array,
+    training: bool,
+    empty_fill: float = 0.0,
+) -> Tuple[CNFrame, CNFrame, jax.Array, jax.Array]:
+    """Full cn5 pipeline: normalize -> EMA inner product -> Gram-Schmidt ->
+    renormalize (model.py:2261-2423).  Returns (ncn1, ocn2, new_ema, new_n).
+    """
+    ncn1 = colnorm_quirk(cn1, empty_fill)
+    inner, new_ema, new_n = ema_inner_product(cn2, ncn1, ema, n, training)
+    ocn2 = gram_schmidt(cn2, ncn1, inner)
+    ocn2 = colnorm_plain(ocn2)
+    return ncn1, ocn2, new_ema, new_n

@@ -1,0 +1,68 @@
+"""Full-graph sparse matrix x dense matrix products (encoder hot loop).
+
+Replaces torch_sparse's CUDA `spmm_add / spmm_mean / spmm_max`
+(reference model.py:6, used by PureConv at model.py:42-55) with XLA
+segment-reduction formulations over the COO view of the graph.  XLA lowers
+segment_sum over sorted segment ids to an efficient TPU scatter-reduction and
+fuses the value scaling; a Pallas row-blocked CSR kernel is available as a
+drop-in for the `add` case (ocn_tpu/ops/pallas/spmm_kernel.py) and is selected
+via `use_pallas` when it wins.
+
+Semantics notes (all verified against the reference):
+* values weight messages: message m(u<-v) = val(u,v) * x[v].
+* `mean` divides by the *structural* row count of un-masked entries
+  (torch_sparse spmm_mean divides by rowcount; with DropAdj the reference
+  masks nnz away entirely, so the denominator shrinks — we therefore divide
+  by the count of entries with val != 0).
+* `max` reduces val * x over present entries, empty rows give 0 (torch_scatter
+  zero-fills empty segments).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ocn_tpu.sparse.csr import Graph
+
+
+def spmm(g: Graph, x: jax.Array, aggr: str = "sum") -> jax.Array:
+    """aggr over in-neighbors: out[u] = aggr_{(u,v) in E} val * x[v]."""
+    msg = g.val[:, None] * x[g.col]
+    if aggr == "sum":
+        return jax.ops.segment_sum(msg, g.row, num_segments=g.n_nodes)
+    if aggr == "mean":
+        s = jax.ops.segment_sum(msg, g.row, num_segments=g.n_nodes)
+        cnt = jax.ops.segment_sum(
+            (g.val != 0).astype(x.dtype), g.row, num_segments=g.n_nodes
+        )
+        return s / jnp.maximum(cnt, 1.0)[:, None]
+    if aggr == "max":
+        neg = jnp.finfo(x.dtype).min
+        masked = jnp.where((g.val != 0)[:, None], msg, neg)
+        m = jax.ops.segment_max(masked, g.row, num_segments=g.n_nodes)
+        # segment_max fills empty segments with -inf; torch_scatter zero-fills
+        return jnp.where(m <= neg, 0.0, m)
+    raise ValueError(f"unknown aggr {aggr!r}")
+
+
+def gcn_norm_conv(g: Graph, x: jax.Array) -> jax.Array:
+    """PureConv 'gcn' aggregation (reference model.py:50-55):
+
+        norm = rsqrt(1 + adj.sum(-1));  out = norm * (A @ (norm * x) + norm*x)
+
+    i.e. symmetric degree normalization with an implicit self loop.  The row
+    sum uses current values, so maskinput / DropAdj shrink the norm exactly as
+    in the reference.
+    """
+    norm = jax.lax.rsqrt(1.0 + g.value_rowsum()).astype(x.dtype)[:, None]
+    xn = norm * x
+    return norm * (spmm(g, xn, "sum") + xn)
+
+
+def gcn_selfloop_conv(g: Graph, x: jax.Array) -> jax.Array:
+    """PyG GCNConv propagation (reference convdict 'gcn', model.py:58-62):
+    D^-1/2 (A + I) D^-1/2 with degrees from (A + I) row sums of values."""
+    deg = g.value_rowsum() + 1.0
+    norm = jax.lax.rsqrt(deg).astype(x.dtype)[:, None]
+    xn = norm * x
+    return norm * (spmm(g, xn, "sum") + xn)

@@ -1,0 +1,130 @@
+"""Static-shape sparse graph containers for TPU.
+
+The reference (qingpingmo/OCN) keeps the adjacency in `torch_sparse.SparseTensor`
+(dynamic-nnz COO/CSR backed by C++/CUDA; see reference utils.py:42-44,
+ogbdataset.py:44-45).  Dynamic nnz is hostile to XLA, so the TPU-native design
+fixes every shape at trace time:
+
+* ``Graph`` holds the adjacency simultaneously in CSR form (``indptr``/``col``
+  for per-edge neighbor-list gathers) and COO form (``row``/``col``/``val`` for
+  segment-sum SpMM).  ``nnz`` is a static Python int — one XLA compilation per
+  graph, which is the right trade for training loops that run thousands of
+  steps on one graph.
+
+* ``val`` is the only piece that changes during training:  target-link removal
+  ("maskinput", reference NeighborOverlap_large.py:56-63 rebuilds + re-coalesces
+  a SparseTensor per batch) becomes a scatter of zeros into ``val`` at
+  precomputed nnz positions (``edge2pos``), and edge dropout (DropAdj,
+  reference model.py:211-229 `masked_select_nnz`) becomes elementwise value
+  masking.  Entries with ``val == 0`` are treated as absent everywhere.
+
+Host-side construction is NumPy (see ocn_tpu/sparse/build.py); this module is
+pure JAX-side containers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Symmetric, coalesced adjacency with per-row-sorted columns.
+
+    Fields
+    ------
+    indptr : (n_nodes+1,) int32 — CSR row pointers.
+    col    : (nnz,) int32 — column indices, sorted within each row.
+    row    : (nnz,) int32 — COO row indices (expanded indptr).
+    val    : (nnz,) float32 — edge values; 0 means "masked out / absent".
+    deg    : (n_nodes,) int32 — structural row degrees (nnz per row,
+             independent of val masking; matches reference rowcount(),
+             utils.py:44).
+    n_nodes : static int.
+    """
+
+    indptr: jax.Array
+    col: jax.Array
+    row: jax.Array
+    val: jax.Array
+    deg: jax.Array
+    n_nodes: int
+
+    # -- pytree plumbing (n_nodes is static aux data) ------------------------
+    def tree_flatten(self):
+        return (self.indptr, self.col, self.row, self.val, self.deg), (self.n_nodes,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        indptr, col, row, val, deg = children
+        return cls(indptr, col, row, val, deg, aux[0])
+
+    # -- basic properties ----------------------------------------------------
+    @property
+    def nnz(self) -> int:
+        return self.col.shape[0]
+
+    def with_values(self, val: jax.Array) -> "Graph":
+        return dataclasses.replace(self, val=val)
+
+    def ones_values(self) -> "Graph":
+        return self.with_values(jnp.ones_like(self.val))
+
+    # -- value-space adjacency edits ----------------------------------------
+    def mask_edges(self, positions: jax.Array) -> "Graph":
+        """Zero out ``val`` at the given nnz positions.
+
+        TPU-native equivalent of the reference's per-batch target-link removal
+        (NeighborOverlap_large.py:56-63): instead of rebuilding + symmetrizing
+        a new SparseTensor per batch, scatter zeros at the (i->j, j->i) nnz
+        positions of the masked edges.  ``positions`` typically comes from
+        ``edge2pos[perm].ravel()``.
+        """
+        return self.with_values(self.val.at[positions].set(0.0))
+
+    def drop_edges(self, key: jax.Array, p: float, doscale: bool = True) -> "Graph":
+        """Value-space DropAdj (reference model.py:211-229).
+
+        Bernoulli-keeps each nnz with prob 1-p and rescales kept values by
+        1/(1-p) (matching `masked_select_nnz` + `fill_value_(1/(1-p))`).
+        """
+        if p < 1e-6:
+            return self
+        keep = jax.random.bernoulli(key, 1.0 - p, (self.nnz,))
+        scale = 1.0 / (1.0 - p) if doscale else 1.0
+        return self.with_values(jnp.where(keep, self.val * scale, 0.0))
+
+    # -- reductions ----------------------------------------------------------
+    def value_rowsum(self) -> jax.Array:
+        """Per-row sum of values == adj.sum(dim=-1) in the reference
+        (used for the `puregcn` norm, model.py:51)."""
+        return jax.ops.segment_sum(self.val, self.row, num_segments=self.n_nodes)
+
+
+def graph_from_numpy(
+    indptr: np.ndarray,
+    col: np.ndarray,
+    n_nodes: int,
+    val: Optional[np.ndarray] = None,
+) -> Graph:
+    """Lift host CSR arrays (see build.py) onto the default device."""
+    indptr = np.asarray(indptr, np.int32)
+    col = np.asarray(col, np.int32)
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int32)
+    row = np.repeat(np.arange(n_nodes, dtype=np.int32), deg)
+    if val is None:
+        val = np.ones_like(col, np.float32)
+    return Graph(
+        indptr=jnp.asarray(indptr),
+        col=jnp.asarray(col),
+        row=jnp.asarray(row),
+        val=jnp.asarray(val, jnp.float32),
+        deg=jnp.asarray(deg),
+        n_nodes=int(n_nodes),
+    )

@@ -1,0 +1,428 @@
+"""Training/eval engine — the TPU-native re-design of the reference drivers.
+
+One jitted `train_step` replaces the reference's per-batch Python pipeline
+(NeighborOverlap_large.py:28-94):
+
+* target-link removal ("maskinput") is a scatter of zeros into the adjacency
+  value array at precomputed nnz positions — no per-batch rebuild/coalesce
+  (reference rebuilds + `to_symmetric()` per batch, :56-63);
+* the encoder runs once per step; link scoring runs as a `lax.scan` over
+  fixed-size link micro-batches *inside the same jit* — the static-shape
+  equivalent of the ppa driver's `linkbatchsize` loop with its
+  `h.detach()/h0.backward(h.grad)` gradient splice
+  (NeighborOverlap_large_ppa.py:93-137), which autodiff-through-scan renders
+  unnecessary;
+* the predictor's EMA inner-product state threads through the scan carry in
+  the same order the reference updates it (all positive micro-batches, then
+  all negative ones);
+* per-chunk dropout keys are folded from the step key.
+
+Two optimizer groups (gnnlr / prelr) mirror the reference's two-param-group
+Adam (NeighborOverlap_large.py:306-307) via optax.multi_transform.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ocn_tpu.config import Config
+from ocn_tpu.data.loaders import LinkDataset
+from ocn_tpu.nn.encoder import GCNEncoder
+from ocn_tpu.nn.predictors import FRAME_BASED, SELF_BUILDING, THREE_HOP, build_predictor
+from ocn_tpu.ops.frame import cn_frames
+from ocn_tpu.sparse import build as B
+from ocn_tpu.sparse.csr import Graph
+from ocn_tpu.train import losses as L
+from ocn_tpu.train import metrics as M
+
+
+def _largest_divisor_leq(n: int, target: int) -> int:
+    target = max(1, min(n, target))
+    for c in range(target, 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    ema: Any
+    sched: Any
+    opt_state: Any
+
+
+class Trainer:
+    """Drives one (dataset, config) pair; owns compiled step functions."""
+
+    def __init__(self, cfg: Config, ds: LinkDataset):
+        self.cfg = cfg
+        self.ds = ds
+        self.g = ds.as_graph()
+        self.full_g = (
+            ds.full_graph() if ds.full_edge_index is not None else self.g
+        )
+        self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        if ds.max_x >= 0:
+            self.x = jnp.asarray(ds.x, jnp.int32)
+        else:
+            self.x = jnp.asarray(ds.x, self.dtype)
+
+        self.encoder = GCNEncoder(
+            hidden=cfg.hiddim, num_layers=cfg.mplayers, dropout=cfg.gnndp,
+            ln=cfg.ln, res=cfg.res, max_x=ds.max_x, conv_fn=cfg.model,
+            jk=cfg.jk, edrop=cfg.gnnedp, xdropout=cfg.xdp,
+            taildropout=cfg.tdp, noinputlin=cfg.loadx, stack=cfg.encoder_stack,
+            apply_adjdrop=(cfg.encoder_stack == "ts"),
+        )
+        self.predictor = build_predictor(
+            cfg.predictor, cfg.hiddim, ds.n_nodes, **cfg.predictor_kwargs()
+        )
+        self.frame_based = cfg.predictor in FRAME_BASED
+
+        # maskinput support: train-edge -> nnz position map, once per dataset
+        self.train_edges = np.asarray(ds.split_edge["train"]["edge"]).T  # (2, E)
+        if cfg.maskinput:
+            self.edge2pos = jnp.asarray(
+                B.edge_to_nnz_positions(
+                    np.asarray(self.g.indptr), np.asarray(self.g.col),
+                    self.train_edges,
+                )
+            )
+        else:
+            self.edge2pos = None
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: int) -> TrainState:
+        cfg = self.cfg
+        k = jax.random.PRNGKey(seed)
+        k_enc, k_pred, k_smp = jax.random.split(k, 3)
+        ei0 = jnp.zeros((2, 8), jnp.int32)
+        enc_vars = self.encoder.init(
+            {"params": k_enc, "dropout": k_enc}, self.x, self.g, False
+        )
+        h0 = jnp.zeros((self.ds.n_nodes, cfg.hiddim), self.dtype)
+        if self.frame_based:
+            cn1, cn2 = cn_frames(
+                self.g, ei0, k=cfg.pad_deg, k2=cfg.pad_deg2,
+                cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+            )
+            if cfg.predictor in THREE_HOP:
+                from ocn_tpu.ops.frame import cn3_frame
+
+                cn1, cn2, src = cn_frames(
+                    self.g, ei0, k=cfg.pad_deg, k2=cfg.pad_deg2,
+                    cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+                    with_src=True,
+                )
+                cn3 = cn3_frame(
+                    self.g, ei0, src, k2=min(cfg.pad_deg2, 16), k3=16,
+                    counts=cfg.cn2_counts,
+                )
+                pred_vars = self.predictor.init(
+                    {"params": k_pred, "dropout": k_pred},
+                    h0, self.g, cn1, cn2, cn3, ei0, False,
+                )
+            else:
+                pred_vars = self.predictor.init(
+                    {"params": k_pred, "dropout": k_pred},
+                    h0, self.g, cn1, cn2, ei0, False,
+                )
+        else:
+            pred_vars = self.predictor.init(
+                {"params": k_pred, "dropout": k_pred, "sample": k_smp},
+                h0, self.g, ei0, False,
+            )
+        params = {"encoder": enc_vars["params"], "predictor": pred_vars["params"]}
+        ema = pred_vars.get("ema", {})
+        sched = pred_vars.get("sched", {})
+        tx = self._make_tx()
+        return TrainState(params, ema, sched, tx.init(params))
+
+    def _make_tx(self):
+        cfg = self.cfg
+        return optax.multi_transform(
+            {"encoder": optax.adam(cfg.gnnlr), "predictor": optax.adam(cfg.prelr)},
+            param_labels={"encoder": "encoder", "predictor": "predictor"},
+        )
+
+    # ------------------------------------------------------- chunked scoring
+    def _chunk(self) -> int:
+        cfg = self.cfg
+        target = cfg.linkbatchsize if cfg.linkbatchsize > 0 else 4096
+        return _largest_divisor_leq(cfg.batch_size, target)
+
+    def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training):
+        """Score one (2, C) chunk; returns ((C,) scores, new_ema)."""
+        cfg = self.cfg
+        rngs = {}
+        if training:
+            kd, ks, kf = jax.random.split(key, 3)
+            rngs = {"dropout": kd, "sample": ks}
+            frame_key = kf
+        else:
+            frame_key = None
+        variables = {"params": params["predictor"], "ema": ema, "sched": sched}
+        if self.frame_based:
+            cn1, cn2 = cn_frames(
+                g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
+                cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+            )
+            # padded/invalid edges must not pollute batch column sums / EMA
+            cn1 = cn1.with_values(cn1.val * valid[:, None])
+            cn2 = cn2.with_values(cn2.val * valid[:, None])
+            if cfg.predictor in THREE_HOP:
+                from ocn_tpu.ops.frame import cn3_frame
+
+                # rebuild sharing the SAME candidate frame as cn1/cn2
+                cn1, cn2, src = cn_frames(
+                    g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
+                    cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+                    with_src=True,
+                )
+                cn1 = cn1.with_values(cn1.val * valid[:, None])
+                cn2 = cn2.with_values(cn2.val * valid[:, None])
+                cn3 = cn3_frame(
+                    g, edges, src, k2=min(cfg.pad_deg2, 16), k3=16,
+                    counts=cfg.cn2_counts,
+                )
+                cn3 = cn3.with_values(cn3.val * valid[:, None])
+                out, upd = self.predictor.apply(
+                    variables, h, g, cn1, cn2, cn3, edges, training,
+                    rngs=rngs, mutable=["ema"],
+                )
+            else:
+                out, upd = self.predictor.apply(
+                    variables, h, g, cn1, cn2, edges, training,
+                    rngs=rngs, mutable=["ema"],
+                )
+        else:
+            out, upd = self.predictor.apply(
+                variables, h, g, edges, training,
+                rngs=rngs, mutable=["ema"],
+            )
+        return out.reshape(-1), upd.get("ema", ema)
+
+    def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training):
+        """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema)."""
+        def body(carry, inp):
+            ema_c, i = carry
+            e, v = inp
+            out, ema_n = self._score_chunk(
+                params, ema_c, sched, h, g, e, v,
+                jax.random.fold_in(key, i), training,
+            )
+            return (ema_n, i + 1), out
+
+        (ema_f, _), outs = jax.lax.scan(body, (ema, 0), (edges, valid))
+        return outs.reshape(-1), ema_f
+
+    # ------------------------------------------------------------ train step
+    def _build_steps(self):
+        cfg = self.cfg
+        tx = self._make_tx()
+
+        # optional dp x tp mesh (SURVEY.md §2.7 TPU-native column): edge
+        # batches sharded over "dp", predictor activations over "tp"; XLA
+        # GSPMD inserts the gradient psums / activation collectives.
+        mesh = None
+        if cfg.dp_devices * cfg.tp_devices > 1:
+            from ocn_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.dp_devices, cfg.tp_devices)
+        self.mesh = mesh
+
+        def _constrain_tp(x):
+            if mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # hidden-dim tensor parallelism for the MLP stack
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "tp")))
+
+        self._constrain_tp = _constrain_tp
+
+        def masked_graph(base_g: Graph, mask_positions):
+            if mask_positions is None:
+                return base_g
+            return base_g.mask_edges(mask_positions)
+
+        def train_step(state: TrainState, pos, neg, mask_positions, key):
+            c = self._chunk()
+            b = pos.shape[1]
+            nchunk = b // c
+            posc = pos.reshape(2, nchunk, c).transpose(1, 0, 2)
+            negc = neg.reshape(2, nchunk, c).transpose(1, 0, 2)
+            validc = jnp.ones((nchunk, c), self.dtype)
+            g = masked_graph(self.g, mask_positions)
+            k_enc, k_pos, k_neg = jax.random.split(key, 3)
+
+            def loss_fn(params, ema):
+                h = self.encoder.apply(
+                    {"params": params["encoder"]}, self.x, g, True,
+                    rngs={"dropout": k_enc},
+                )
+                h = self._constrain_tp(h)
+                pos_out, ema1 = self._scan_scores(
+                    params, ema, state.sched, h, g, posc, validc, k_pos, True)
+                neg_out, ema2 = self._scan_scores(
+                    params, ema1, state.sched, h, g, negc, validc, k_neg, True)
+                loss = L.LOSSES[cfg.losstrick](
+                    pos_out, neg_out, num_neg=1,
+                    weight=cfg.lossweight, margin=cfg.lossmargin,
+                )
+                return loss, ema2
+
+            (loss, new_ema), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.ema
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(new_params, new_ema, state.sched, new_opt),
+                loss,
+            )
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            edg = NamedSharding(mesh, P(None, "dp"))
+            self.train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, edg, edg, rep, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        else:
+            self.train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def encode(params, g):
+            return self.encoder.apply({"params": params["encoder"]}, self.x, g, False)
+
+        self.encode = jax.jit(encode)
+
+        def score(params, ema, sched, h, g, edges, valid):
+            out, _ = self._score_chunk(
+                params, ema, sched, h, g, edges, valid,
+                jax.random.PRNGKey(0), False,
+            )
+            return out
+
+        self.score = jax.jit(score)
+
+    # ------------------------------------------------------------- epoch API
+    def train_epoch(self, state: TrainState, rng: np.random.Generator,
+                    epoch: int) -> Tuple[TrainState, float]:
+        cfg = self.cfg
+        pos = self.train_edges  # (2, E)
+        e = pos.shape[1]
+        perm = rng.permutation(e)
+        neg = B.negative_sampling(self.ds.edge_index, self.ds.n_nodes, e, rng)
+        if cfg.increasealpha and self.sched_has_alpha(state):
+            # reference ramp max(0, min((epoch-5)*0.1, 1)) (NeighborOverlap_large.py:310)
+            a = max(0.0, min((epoch - 5) * 0.1, 1.0))
+            state = dataclasses.replace(
+                state, sched=self._set_alpha(state.sched, a))
+        losses = []
+        bs = cfg.batch_size
+        key = jax.random.PRNGKey(rng.integers(2**31))
+        # train-mode PermIterator drops the ragged tail (utils.py:20-30)
+        for i, start in enumerate(range(0, e - bs + 1, bs)):
+            idx = perm[start : start + bs]
+            pe = jnp.asarray(pos[:, idx])
+            ne = jnp.asarray(neg[:, idx])
+            mask_positions = None
+            if self.edge2pos is not None:
+                mp = self.edge2pos[jnp.asarray(idx)]
+                mask_positions = jnp.maximum(mp.reshape(-1), 0)
+            state, loss = self.train_step(
+                state, pe, ne, mask_positions, jax.random.fold_in(key, i)
+            )
+            losses.append(loss)
+        mean_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
+        return state, mean_loss
+
+    def sched_has_alpha(self, state: TrainState) -> bool:
+        return bool(state.sched)
+
+    @staticmethod
+    def _set_alpha(sched, value):
+        return jax.tree_util.tree_map(lambda _: jnp.asarray(value, jnp.float32), sched)
+
+    def _score_split(self, state: TrainState, h, g, edges: np.ndarray) -> np.ndarray:
+        """Eval-mode PermIterator keeps the ragged tail (utils.py:20-30); the
+        tail chunk is padded and masked so batch column sums see only real
+        edges."""
+        bs = self.cfg.testbs
+        out = []
+        n = edges.shape[0]
+        for start in range(0, n, bs):
+            chunk = edges[start : start + bs].T  # (2, c)
+            c = chunk.shape[1]
+            pad = bs - c
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((2, pad), chunk.dtype)], axis=1)
+            valid = np.zeros((bs,), np.float32)
+            valid[:c] = 1.0
+            s = self.score(
+                state.params, state.ema, state.sched, h, g,
+                jnp.asarray(chunk), jnp.asarray(valid),
+            )
+            out.append(np.asarray(s[:c]))
+        return np.concatenate(out) if out else np.zeros((0,))
+
+    def evaluate(self, state: TrainState) -> Dict[str, Tuple[float, float, float]]:
+        """Reference test() (NeighborOverlap_large.py:97-180): score train /
+        valid / test positives against the valid/test negatives, Hits@K for
+        K in {20, 50, 100}; `use_valedges_as_input` re-encodes with the full
+        adjacency for the test split."""
+        se = self.ds.split_edge
+        h = self.encode(state.params, self.g)
+        pos_train = self._score_split(state, h, self.g, se["train"]["edge"])
+        pos_valid = self._score_split(state, h, self.g, se["valid"]["edge"])
+        neg_valid = self._score_split(state, h, self.g, se["valid"]["edge_neg"])
+        if self.cfg.use_valedges_as_input:
+            h = self.encode(state.params, self.full_g)
+            g_test = self.full_g
+        else:
+            g_test = self.g
+        pos_test = self._score_split(state, h, g_test, se["test"]["edge"])
+        neg_test = self._score_split(state, h, g_test, se["test"]["edge_neg"])
+        results = {}
+        for k in (20, 50, 100):
+            results[f"Hits@{k}"] = (
+                M.hits_at_k(pos_train, neg_valid, k),
+                M.hits_at_k(pos_valid, neg_valid, k),
+                M.hits_at_k(pos_test, neg_test, k),
+            )
+        return results
+
+    def evaluate_mrr(self, state: TrainState) -> Dict[str, float]:
+        """citation2-style MRR eval (NeighborOverlapCitation2.py:235-259)."""
+        se = self.ds.split_edge
+        h = self.encode(state.params, self.g)
+        out = {}
+        for part in ("valid", "test"):
+            src = se[part]["source_node"]
+            tgt = se[part]["target_node"]
+            negs = se[part]["target_node_neg"]  # (n, num_neg)
+            pos = self._score_split(state, h, self.g, np.stack([src, tgt], 1))
+            n, m = negs.shape
+            flat = np.stack([np.repeat(src, m), negs.reshape(-1)], 1)
+            neg = self._score_split(state, h, self.g, flat).reshape(n, m)
+            out[part] = M.mrr(pos, neg)
+        return out

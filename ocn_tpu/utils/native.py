@@ -1,0 +1,75 @@
+"""Loader for the native C++ host-runtime library (libgraphcore).
+
+The reference delegates its host/runtime-side sparse machinery to native
+extensions (torch_sparse / torch_scatter C++, reference environment.yml:247-248).
+The TPU build's analogue is ``native/graphcore.cpp``: CSR construction,
+edge->nnz position maps and negative sampling over multi-million-edge graphs,
+compiled to a plain shared library and bound via ctypes (no pybind11 in the
+image).  Everything has a NumPy fallback, so the framework works without the
+library; `load()` returns None when it is absent.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+class _GraphCore:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.gc_csr_from_edges.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i32p, i32p]
+        lib.gc_csr_from_edges.restype = None
+        lib.gc_edge_positions.argtypes = [i32p, i32p, ctypes.c_int64, i64p, ctypes.c_int64, i32p]
+        lib.gc_edge_positions.restype = None
+        lib.gc_negative_sampling.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p]
+        lib.gc_negative_sampling.restype = ctypes.c_int64
+
+    def csr_from_edges(self, edge_index: np.ndarray, n_nodes: int):
+        ei = np.ascontiguousarray(edge_index, np.int64)
+        nnz = ei.shape[1]
+        indptr = np.zeros(n_nodes + 1, np.int32)
+        col = np.zeros(nnz, np.int32)
+        self._lib.gc_csr_from_edges(ei, nnz, n_nodes, indptr, col)
+        return indptr, col
+
+    def edge_to_nnz_positions(self, indptr, col, edges):
+        indptr = np.ascontiguousarray(indptr, np.int32)
+        col = np.ascontiguousarray(col, np.int32)
+        edges = np.ascontiguousarray(edges, np.int64)
+        ne = edges.shape[1]
+        out = np.zeros((ne, 2), np.int32)
+        self._lib.gc_edge_positions(indptr, col, col.shape[0], edges, ne, out)
+        return out
+
+    def negative_sampling(self, sorted_keys: np.ndarray, n_nodes: int, num: int, seed: int):
+        sorted_keys = np.ascontiguousarray(sorted_keys, np.int64)
+        out = np.zeros(num, np.int64)
+        got = self._lib.gc_negative_sampling(
+            sorted_keys, sorted_keys.shape[0], n_nodes, num, np.uint64(seed), out)
+        return out[:got]
+
+
+def load() -> Optional[_GraphCore]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "libgraphcore.so")
+    if os.environ.get("OCN_TPU_NO_NATIVE"):
+        return None
+    if os.path.exists(path):
+        try:
+            _LIB = _GraphCore(ctypes.CDLL(path))
+        except OSError:
+            _LIB = None
+    return _LIB

@@ -1,0 +1,87 @@
+"""End-to-end smoke: the minimum slice from SURVEY.md §7.2 — Cora-like graph,
+cn5 + puregcn, one jitted train step + Hits@K eval.  Runs on the CPU backend
+(BASELINE.json config #1 is the CPU-runnable smoke)."""
+import numpy as np
+import pytest
+
+from ocn_tpu.config import Config
+from ocn_tpu.data.loaders import synthetic_dataset
+from ocn_tpu.train.loop import Trainer
+
+
+def small_cfg(**kw):
+    base = dict(
+        dataset="Cora", predictor="cn5", model="puregcn", mplayers=1,
+        hiddim=32, batch_size=128, testbs=128, epochs=1, runs=1,
+        maskinput=True, pad_deg=16, pad_deg2=16, count2_chunk=0,
+        gnndp=0.1, predp=0.1, xdp=0.1, tdp=0.1, gnnedp=0.0, preedp=0.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    return synthetic_dataset("Cora", seed=0, scale=0.15)  # ~400 nodes
+
+
+def test_train_and_eval_cn5(tiny_ds):
+    cfg = small_cfg()
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    rng = np.random.default_rng(0)
+    state, loss0 = tr.train_epoch(state, rng, 1)
+    assert np.isfinite(loss0)
+    state, loss1 = tr.train_epoch(state, rng, 2)
+    assert np.isfinite(loss1)
+    # EMA state advanced (one update per pos/neg micro-batch scan step)
+    assert int(np.asarray(state.ema["n"])) > 0
+    res = tr.evaluate(state)
+    for k, (trn, val, tst) in res.items():
+        assert 0.0 <= trn <= 1.0 and 0.0 <= val <= 1.0 and 0.0 <= tst <= 1.0
+
+
+def test_train_cn7(tiny_ds):
+    cfg = small_cfg(predictor="cn7", model="puremean", mplayers=2)
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
+    res = tr.evaluate(state)
+    assert "Hits@20" in res
+
+
+def test_train_cn2_incomplete(tiny_ds):
+    cfg = small_cfg(predictor="cn2", depth=1, trndeg=4, tstdeg=8, pad_deg=16)
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
+
+
+def test_losses_finite():
+    from ocn_tpu.train import losses as L
+    import jax.numpy as jnp
+
+    pos = jnp.asarray([0.5, 1.2, -0.3])
+    neg = jnp.asarray([-0.5, 0.2, 0.1])
+    for name, fn in L.LOSSES.items():
+        v = fn(pos, neg, num_neg=1, weight=1.0, margin=1.0)
+        assert np.isfinite(float(v)), name
+
+
+def test_metrics():
+    from ocn_tpu.train import metrics as M
+
+    pos = np.array([3.0, 1.0, 0.5])
+    neg = np.array([2.0, 0.4, 0.1, 0.05])
+    assert M.hits_at_k(pos, neg, 1) == pytest.approx(1 / 3)   # kth = 2.0
+    assert M.hits_at_k(pos, neg, 2) == pytest.approx(1.0)     # kth = 0.4
+    assert M.hits_at_k(pos, neg, 3) == pytest.approx(1.0)     # kth = 0.1
+    assert M.hits_at_k(np.array([0.05]), neg, 3) == 0.0
+    assert M.hits_at_k(pos, neg, 100) == 1.0  # fewer negs than K
+    # MRR: pos=1.0 vs its negs row
+    p = np.array([1.0])
+    n = np.array([[2.0, 0.5, 0.1]])
+    # optimistic rank = 1, pessimistic = 1 -> rank 2 -> 1/2
+    assert M.mrr(p, n) == pytest.approx(0.5)

@@ -1,0 +1,162 @@
+"""Unit tests for the candidate-frame CN ops against dense NumPy references.
+
+These are the tests the reference never had (SURVEY.md §4): every kernel is
+checked against a brute-force dense computation of the same math.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ocn_tpu.sparse.build import csr_from_edge_index, edge_to_nnz_positions
+from ocn_tpu.sparse.csr import graph_from_numpy
+from ocn_tpu.ops.frame import CNFrame, cn_frames, gather_neighbors
+from ocn_tpu.ops import ortho
+from ocn_tpu.ops.spmm import spmm, gcn_norm_conv
+
+
+def random_graph(rng, n=30, p=0.15):
+    dense = rng.random((n, n)) < p
+    dense = np.triu(dense, 1)
+    dense = dense | dense.T
+    ei = np.stack(np.nonzero(dense))
+    indptr, col = csr_from_edge_index(ei, n, symmetrize=False)
+    return graph_from_numpy(indptr, col, n), dense.astype(np.float64)
+
+
+def frame_to_dense(cn):
+    """Materialize a CNFrame as a dense (B, N) matrix, summing duplicates."""
+    b, k = cn.ids.shape
+    out = np.zeros((b, cn.n_nodes))
+    ids = np.asarray(cn.ids)
+    val = np.asarray(cn.val)
+    for i in range(b):
+        for j in range(k):
+            if ids[i, j] < cn.n_nodes and val[i, j] != 0:
+                out[i, ids[i, j]] += val[i, j]
+    return out
+
+
+def test_gather_exact(rng):
+    g, dense = random_graph(rng)
+    nodes = jnp.arange(g.n_nodes)
+    fr = gather_neighbors(g, nodes, k=g.n_nodes)  # k >= max degree => exact
+    got = frame_to_dense(CNFrame(fr.ids, fr.w, g.n_nodes))
+    np.testing.assert_allclose(got, dense)
+
+
+def test_cn1_exact_matches_dense(rng):
+    g, dense = random_graph(rng)
+    edges = rng.integers(0, g.n_nodes, size=(2, 17))
+    cn1, cn2 = cn_frames(g, jnp.asarray(edges), k=g.n_nodes)
+    # dense reference: cn1[e, k] = A[i,k]*A[j,k]
+    want1 = dense[edges[0]] * dense[edges[1]]
+    np.testing.assert_allclose(frame_to_dense(cn1), want1)
+    # cn2[e, k] = A[i,k] * (A^2[j,k] > 0)  (binary, torch_sparse-stack style)
+    a2 = dense @ dense
+    want2 = dense[edges[0]] * (a2[edges[1]] > 0)
+    np.testing.assert_allclose(frame_to_dense(cn2), want2)
+
+
+def test_cn2_counts_and_exact_two_hop(rng):
+    g, dense = random_graph(rng)
+    edges = rng.integers(0, g.n_nodes, size=(2, 11))
+    a2 = dense @ dense
+    cn1, cn2 = cn_frames(g, jnp.asarray(edges), k=g.n_nodes, cn2_counts=True)
+    want = dense[edges[0]] * a2[edges[1]]
+    np.testing.assert_allclose(frame_to_dense(cn2), want)
+    # SPD-style exactly-distance-2 (reference SPD.py:65-95): zero where 1-hop
+    _, cn2x = cn_frames(
+        g, jnp.asarray(edges), k=g.n_nodes, cn2_counts=True, exact_two_hop=True
+    )
+    wantx = np.where(dense[edges[1]] > 0, 0.0, want)
+    np.testing.assert_allclose(frame_to_dense(cn2x), wantx)
+
+
+def test_cn2_chunked_matches_unchunked(rng):
+    g, _ = random_graph(rng)
+    edges = jnp.asarray(rng.integers(0, g.n_nodes, size=(2, 13)))
+    _, a = cn_frames(g, edges, k=g.n_nodes, cn2_counts=True)
+    _, b = cn_frames(g, edges, k=g.n_nodes, cn2_counts=True, count2_chunk=4)
+    np.testing.assert_allclose(np.asarray(a.val), np.asarray(b.val))
+
+
+def test_maskinput_removes_edges(rng):
+    g, dense = random_graph(rng)
+    ei = np.stack(np.nonzero(np.triu(dense, 1)))
+    pos = edge_to_nnz_positions(np.asarray(g.indptr), np.asarray(g.col), ei)
+    assert (pos >= 0).all()
+    masked = g.mask_edges(jnp.asarray(pos[:3].ravel()))
+    d2 = dense.copy()
+    for (u, v) in ei[:, :3].T:
+        d2[u, v] = d2[v, u] = 0
+    edges = jnp.asarray(ei[:, :5])
+    cn1, _ = cn_frames(masked, edges, k=g.n_nodes, with_cn2=True)
+    want = d2[ei[0, :5]] * d2[ei[1, :5]]
+    np.testing.assert_allclose(frame_to_dense(cn1), want)
+
+
+def test_spmm_aggrs(rng):
+    g, dense = random_graph(rng)
+    x = rng.standard_normal((g.n_nodes, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmm(g, jnp.asarray(x), "sum")), dense @ x, rtol=1e-5, atol=1e-5
+    )
+    deg = dense.sum(1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(spmm(g, jnp.asarray(x), "mean")),
+        (dense @ x) / np.maximum(deg, 1),
+        rtol=1e-5, atol=1e-5,
+    )
+    # max: max over neighbors of x, 0 for empty rows
+    want = np.zeros_like(x)
+    for u in range(g.n_nodes):
+        nbr = np.nonzero(dense[u])[0]
+        if len(nbr):
+            want[u] = x[nbr].max(0)
+    np.testing.assert_allclose(np.asarray(spmm(g, jnp.asarray(x), "max")), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gcn_norm_conv(rng):
+    g, dense = random_graph(rng)
+    x = rng.standard_normal((g.n_nodes, 4)).astype(np.float32)
+    norm = 1.0 / np.sqrt(1 + dense.sum(1, keepdims=True))
+    xn = norm * x
+    want = norm * (dense @ xn + xn)
+    np.testing.assert_allclose(
+        np.asarray(gcn_norm_conv(g, jnp.asarray(x))), want, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_orthogonalize_matches_dense_reference(rng):
+    """End-to-end check of the cn5 pipeline vs a dense NumPy re-derivation of
+    reference model.py:2261-2423 (incl. the colsum==1 quirk, EMA, max-scale)."""
+    g, dense = random_graph(rng)
+    edges = rng.integers(0, g.n_nodes, size=(2, 9))
+    cn1, cn2 = cn_frames(g, jnp.asarray(edges), k=g.n_nodes)
+    d1, d2 = frame_to_dense(cn1), frame_to_dense(cn2)
+
+    # dense reference math
+    cs = d1.sum(0)
+    cs_rep = np.where(cs == 0, 1.0, cs)
+    inv = np.where(cs_rep != 1, 1.0 / cs_rep, 0.0)
+    nd1 = d1 * inv
+    inner0 = float((d2 * nd1).sum())  # first training batch: ema == inner0
+    scale = np.abs(nd1).max()
+    nip = inner0 / scale if scale > 0 else inner0
+    od2 = d2 - nip * nd1
+    cs2 = od2.sum(0)
+    od2 = od2 / np.where(cs2 == 0, 1.0, cs2)
+
+    ncn1, ocn2, ema, n = ortho.orthogonalize(
+        cn1, cn2, jnp.zeros(()), jnp.zeros((), jnp.int32), training=True
+    )
+    assert int(n) == 1
+    np.testing.assert_allclose(float(ema), inner0, rtol=1e-5)
+    np.testing.assert_allclose(frame_to_dense(ncn1), nd1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(frame_to_dense(ocn2), od2, rtol=1e-4, atol=1e-5)
+
+    # eval: stored EMA reused, state unchanged
+    _, _, ema2, n2 = ortho.orthogonalize(cn1, cn2, ema, n, training=False)
+    assert float(ema2) == float(ema) and int(n2) == 1
