@@ -91,6 +91,95 @@ void gc_edge_positions(const int32_t* indptr, const int32_t* col, int64_t nnz,
   for (auto& th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// A^2 = A @ A row-capped CSR (host SpGEMM).
+//
+// The reference recomputes `adj2 = spadj @ spadj` with cuSPARSE once per
+// training batch (NeighborOverlap_large.py:74) or via dense blocks
+// (utils.py:287-329).  The TPU build instead precomputes A^2 once per graph
+// here (classic row-merge SpGEMM with a dense per-thread accumulator) and
+// gathers its rows on device; per-batch maskinput is corrected analytically
+// on device (see ocn_tpu/ops/frame.py).
+//
+// Rows longer than `cap` keep their `cap` highest-count entries (hub rows of
+// A^2 grow as deg^2; high-count entries are the ones that survive binary
+// thresholding and dominate path counts).  cap <= 0 keeps everything.
+//
+// Two-call protocol: first call with col == nullptr fills out_indptr only
+// (caller then allocates nnz = indptr[n]); second call fills col/val.
+
+void gc_adj2_csr(const int32_t* indptr, const int32_t* col, int64_t n_nodes,
+                 int64_t cap, int32_t* out_indptr, int32_t* out_col,
+                 float* out_val) {
+  unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<int64_t> rowlen(n_nodes, 0);
+
+  auto row_pass = [&](bool emit) {
+    std::vector<std::thread> ts;
+    std::atomic<int64_t> next(0);
+    const int64_t kBlock = 256;
+    for (unsigned t = 0; t < nt; ++t) {
+      ts.emplace_back([&]() {
+        std::vector<int32_t> count(n_nodes, 0);
+        std::vector<int32_t> touched;
+        touched.reserve(4096);
+        std::vector<std::pair<int32_t, int32_t>> entries;  // (-count, col)
+        for (;;) {
+          int64_t r0 = next.fetch_add(kBlock);
+          if (r0 >= n_nodes) return;
+          int64_t r1 = std::min(r0 + kBlock, n_nodes);
+          for (int64_t j = r0; j < r1; ++j) {
+            touched.clear();
+            for (int32_t p = indptr[j]; p < indptr[j + 1]; ++p) {
+              int32_t m = col[p];
+              for (int32_t q = indptr[m]; q < indptr[m + 1]; ++q) {
+                int32_t k = col[q];
+                if (count[k] == 0) touched.push_back(k);
+                count[k]++;
+              }
+            }
+            int64_t len = (int64_t)touched.size();
+            bool capped = cap > 0 && len > cap;
+            if (!emit) {
+              rowlen[j] = capped ? cap : len;
+            } else {
+              int32_t* oc = out_col + out_indptr[j];
+              float* ov = out_val + out_indptr[j];
+              if (!capped) {
+                std::sort(touched.begin(), touched.end());
+                for (int64_t i = 0; i < len; ++i) {
+                  oc[i] = touched[i];
+                  ov[i] = (float)count[touched[i]];
+                }
+              } else {
+                entries.clear();
+                for (int32_t k : touched) entries.push_back({-count[k], k});
+                std::nth_element(entries.begin(), entries.begin() + cap,
+                                 entries.end());
+                entries.resize(cap);
+                std::sort(entries.begin(), entries.end(),
+                          [](auto& a, auto& b) { return a.second < b.second; });
+                for (int64_t i = 0; i < cap; ++i) {
+                  oc[i] = entries[i].second;
+                  ov[i] = (float)(-entries[i].first);
+                }
+              }
+            }
+            for (int32_t k : touched) count[k] = 0;
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  };
+
+  row_pass(/*emit=*/false);
+  out_indptr[0] = 0;
+  for (int64_t j = 0; j < n_nodes; ++j)
+    out_indptr[j + 1] = out_indptr[j] + (int32_t)rowlen[j];
+  if (out_col != nullptr) row_pass(/*emit=*/true);
+}
+
 // splitmix64 — deterministic, seedable
 static inline uint64_t splitmix64(uint64_t& s) {
   uint64_t z = (s += 0x9e3779b97f4a7c15ULL);

@@ -80,6 +80,9 @@ class Config:
     pad_deg: int = 64                # candidate-frame width K (neighbor cap)
     pad_deg2: int = 64               # cap for dst/candidate neighbor lists (K2)
     count2_chunk: int = 4096         # edge chunk for on-the-fly A^2 counts
+    two_hop_mode: str = "gather"     # "gather": precomputed row-capped A^2;
+                                     # "sddmm": on-the-fly exact counts
+    adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     cn2_counts: bool = False         # True => pygho-stack path-count values
     exact_two_hop: bool = False      # SPD.py exactly-distance-2 semantics
     dtype: str = "float32"           # "bfloat16" for MXU-friendly training

@@ -123,15 +123,32 @@ def gather_neighbors(
     return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes)
 
 
+# above this Kq*Ks product the O(Kq*Ks) compare tensor stops paying for itself
+_COMPARE_LIMIT = 32768
+
+
 def _rowwise_membership(
     query_ids: jax.Array, sorted_ids: jax.Array, sorted_w: jax.Array
 ) -> jax.Array:
     """For each query id, the weight of the matching entry of the sorted row
     (0 if absent).  Shapes: query (B, Kq), sorted (B, Ks) -> (B, Kq).
 
-    Vectorized sorted-search — the XLA analogue of the packed-int64
-    `torch.searchsorted` intersection in reference utils.py:163-183.
+    The XLA analogue of the packed-int64 `torch.searchsorted` intersection in
+    reference utils.py:163-183.  Two lowerings:
+
+    * small K: a dense (B, Kq, Ks) equality-compare + weighted reduce — pure
+      VPU element-wise work that XLA fuses, no gathers (TPU gathers on
+      per-row dynamic indices are the slow path);
+    * large K: vectorized binary search (vmap'd searchsorted).
+
+    The compare path sums weights over *all* matching lanes; rows sampled
+    with replacement can hold duplicate ids whose importance weights then
+    add, which is the correct estimator (searchsorted keeps only the first).
     """
+    kq, ks = query_ids.shape[-1], sorted_ids.shape[-1]
+    if kq * ks <= _COMPARE_LIMIT:
+        eq = query_ids[..., :, None] == sorted_ids[..., None, :]
+        return jnp.sum(jnp.where(eq, sorted_w[..., None, :], 0.0), axis=-1)
     idx = jax.vmap(jnp.searchsorted)(sorted_ids, query_ids)
     idx = jnp.minimum(idx, sorted_ids.shape[-1] - 1)
     hit = jnp.take_along_axis(sorted_ids, idx, axis=-1) == query_ids
@@ -219,6 +236,8 @@ def cn_frames(
     cn2_counts: bool = False,
     exact_two_hop: bool = False,
     with_src: bool = False,
+    adj2: Optional[Graph] = None,
+    self_corr: Optional[jax.Array] = None,
 ):
     """Build cn1 (and optionally cn2) frames for target edges ``tar_ei`` (2, B).
 
@@ -249,6 +268,25 @@ def cn_frames(
     cn1 = CNFrame(ids=src.ids, val=cn1_val, n_nodes=g.n_nodes)
     if not with_cn2:
         return (cn1, None, src) if with_src else (cn1, None)
+
+    # --- cn2 fast path: membership in a precomputed, row-capped A^2 -------
+    if adj2 is not None:
+        a2row = gather_neighbors(adj2, tar_ei[1], k2, keys[2])
+        counts = _rowwise_membership(src.ids, a2row.ids, a2row.w)
+        if self_corr is not None:
+            # maskinput correction: the removed target edge (i, j) contributed
+            # one j-i-k path for every candidate k in N(i); the precomputed
+            # A^2 still contains it, so subtract it (the reference removes it
+            # by recomputing A^2 from the masked adjacency,
+            # NeighborOverlap_large.py:56-74).  Other masked batch edges'
+            # contributions are statistically negligible and left in.
+            counts = jnp.maximum(counts - self_corr[:, None], 0.0)
+        if exact_two_hop:
+            counts = jnp.where(in_dst != 0, 0.0, counts)
+        base = counts if cn2_counts else (counts > 0).astype(jnp.float32)
+        cn2_val = jnp.where(src.w != 0, src.w * base, 0.0)
+        cn2 = CNFrame(ids=src.ids, val=cn2_val, n_nodes=g.n_nodes)
+        return (cn1, cn2, src) if with_src else (cn1, cn2)
 
     # --- cn2: A^2[j, cand] via on-the-fly SDDMM ----------------------------
     def count2_block(cand_ids: jax.Array, dst_ids: jax.Array, dst_w: jax.Array,

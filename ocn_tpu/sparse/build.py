@@ -80,6 +80,50 @@ def edge_to_nnz_positions(
     return out.astype(np.int32)
 
 
+def adj2_csr(
+    indptr: np.ndarray, col: np.ndarray, n_nodes: int, cap: int = 1024
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-capped A^2 = A @ A in CSR with path-count values.
+
+    Replaces the reference's per-batch cuSPARSE SpGEMM
+    (NeighborOverlap_large.py:74) / dense-block `--adj2byblock`
+    (utils.py:287-329) with a one-time host SpGEMM; rows longer than ``cap``
+    keep their highest-count entries.  C++ fast path in native/graphcore.cpp;
+    NumPy fallback below.
+    """
+    nat = native.load()
+    if nat is not None:
+        return nat.adj2_csr(indptr, col, n_nodes, cap)
+    indptr = np.asarray(indptr, np.int64)
+    col = np.asarray(col, np.int64)
+    out_i = [0]
+    cols_all, vals_all = [], []
+    for j in range(n_nodes):
+        nbrs = col[indptr[j] : indptr[j + 1]]
+        if len(nbrs) == 0:
+            out_i.append(out_i[-1])
+            continue
+        segs = [col[indptr[m] : indptr[m + 1]] for m in nbrs]
+        two = np.concatenate(segs) if segs else np.empty(0, np.int64)
+        uniq, counts = np.unique(two, return_counts=True)
+        if cap > 0 and len(uniq) > cap:
+            keep = np.argsort(-counts, kind="stable")[:cap]
+            keep.sort()
+            uniq, counts = uniq[keep], counts[keep]
+            order = np.argsort(uniq)
+            uniq, counts = uniq[order], counts[order]
+        cols_all.append(uniq)
+        vals_all.append(counts)
+        out_i.append(out_i[-1] + len(uniq))
+    out_col = (
+        np.concatenate(cols_all).astype(np.int32) if cols_all else np.empty(0, np.int32)
+    )
+    out_val = (
+        np.concatenate(vals_all).astype(np.float32) if vals_all else np.empty(0, np.float32)
+    )
+    return np.asarray(out_i, np.int32), out_col, out_val
+
+
 def negative_sampling(
     edge_index: np.ndarray,
     n_nodes: int,

@@ -89,6 +89,17 @@ class Trainer:
         )
         self.frame_based = cfg.predictor in FRAME_BASED
 
+        # precomputed A^2 for the "gather" two-hop mode (one host SpGEMM per
+        # graph instead of the reference's per-batch cuSPARSE SpGEMM)
+        self.adj2 = None
+        self.full_adj2 = None
+        if cfg.two_hop_mode == "gather" and self.frame_based:
+            self.adj2 = self._build_adj2(self.g)
+            self.full_adj2 = (
+                self._build_adj2(self.full_g)
+                if ds.full_edge_index is not None else self.adj2
+            )
+
         # maskinput support: train-edge -> nnz position map, once per dataset
         self.train_edges = np.asarray(ds.split_edge["train"]["edge"]).T  # (2, E)
         if cfg.maskinput:
@@ -102,6 +113,23 @@ class Trainer:
             self.edge2pos = None
 
         self._build_steps()
+
+    def _build_adj2(self, g: Graph) -> Graph:
+        from ocn_tpu.sparse.csr import Graph as G
+
+        ip, col, val = B.adj2_csr(
+            np.asarray(g.indptr), np.asarray(g.col), g.n_nodes,
+            cap=self.cfg.adj2_cap,
+        )
+        deg = (ip[1:] - ip[:-1]).astype(np.int32)
+        row = np.repeat(np.arange(g.n_nodes, dtype=np.int32), deg)
+        import jax.numpy as jnp_
+
+        return G(
+            indptr=jnp_.asarray(ip), col=jnp_.asarray(col),
+            row=jnp_.asarray(row), val=jnp_.asarray(val),
+            deg=jnp_.asarray(deg), n_nodes=g.n_nodes,
+        )
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> TrainState:
@@ -163,8 +191,14 @@ class Trainer:
         target = cfg.linkbatchsize if cfg.linkbatchsize > 0 else 4096
         return _largest_divisor_leq(cfg.batch_size, target)
 
-    def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training):
-        """Score one (2, C) chunk; returns ((C,) scores, new_ema)."""
+    def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training,
+                     adj2=None, corr=None):
+        """Score one (2, C) chunk; returns ((C,) scores, new_ema).
+
+        ``adj2``: precomputed A^2 Graph for the "gather" two-hop mode.
+        ``corr``: (C,) maskinput self-path correction flags (1 for positive
+        train edges whose (i, j) was just masked out; see ops/frame.py).
+        """
         cfg = self.cfg
         rngs = {}
         if training:
@@ -178,6 +212,7 @@ class Trainer:
             cn1, cn2 = cn_frames(
                 g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+                adj2=adj2, self_corr=corr,
             )
             # padded/invalid edges must not pollute batch column sums / EMA
             cn1 = cn1.with_values(cn1.val * valid[:, None])
@@ -189,7 +224,7 @@ class Trainer:
                 cn1, cn2, src = cn_frames(
                     g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
                     cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
-                    with_src=True,
+                    with_src=True, adj2=adj2, self_corr=corr,
                 )
                 cn1 = cn1.with_values(cn1.val * valid[:, None])
                 cn2 = cn2.with_values(cn2.val * valid[:, None])
@@ -214,18 +249,21 @@ class Trainer:
             )
         return out.reshape(-1), upd.get("ema", ema)
 
-    def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training):
+    def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training,
+                     adj2=None, corrs=None):
         """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema)."""
         def body(carry, inp):
             ema_c, i = carry
-            e, v = inp
+            e, v, cr = inp
             out, ema_n = self._score_chunk(
                 params, ema_c, sched, h, g, e, v,
-                jax.random.fold_in(key, i), training,
+                jax.random.fold_in(key, i), training, adj2=adj2, corr=cr,
             )
             return (ema_n, i + 1), out
 
-        (ema_f, _), outs = jax.lax.scan(body, (ema, 0), (edges, valid))
+        if corrs is None:
+            corrs = jnp.zeros_like(valid)
+        (ema_f, _), outs = jax.lax.scan(body, (ema, 0), (edges, valid, corrs))
         return outs.reshape(-1), ema_f
 
     # ------------------------------------------------------------ train step
@@ -275,10 +313,13 @@ class Trainer:
                     rngs={"dropout": k_enc},
                 )
                 h = self._constrain_tp(h)
+                pos_corr = validc if (cfg.maskinput and self.adj2 is not None) else None
                 pos_out, ema1 = self._scan_scores(
-                    params, ema, state.sched, h, g, posc, validc, k_pos, True)
+                    params, ema, state.sched, h, g, posc, validc, k_pos, True,
+                    adj2=self.adj2, corrs=pos_corr)
                 neg_out, ema2 = self._scan_scores(
-                    params, ema1, state.sched, h, g, negc, validc, k_neg, True)
+                    params, ema1, state.sched, h, g, negc, validc, k_neg, True,
+                    adj2=self.adj2)
                 loss = L.LOSSES[cfg.losstrick](
                     pos_out, neg_out, num_neg=1,
                     weight=cfg.lossweight, margin=cfg.lossmargin,
@@ -314,10 +355,10 @@ class Trainer:
 
         self.encode = jax.jit(encode)
 
-        def score(params, ema, sched, h, g, edges, valid):
+        def score(params, ema, sched, h, g, adj2, edges, valid):
             out, _ = self._score_chunk(
                 params, ema, sched, h, g, edges, valid,
-                jax.random.PRNGKey(0), False,
+                jax.random.PRNGKey(0), False, adj2=adj2,
             )
             return out
 
@@ -362,7 +403,8 @@ class Trainer:
     def _set_alpha(sched, value):
         return jax.tree_util.tree_map(lambda _: jnp.asarray(value, jnp.float32), sched)
 
-    def _score_split(self, state: TrainState, h, g, edges: np.ndarray) -> np.ndarray:
+    def _score_split(self, state: TrainState, h, g, edges: np.ndarray,
+                     adj2=None) -> np.ndarray:
         """Eval-mode PermIterator keeps the ragged tail (utils.py:20-30); the
         tail chunk is padded and masked so batch column sums see only real
         edges."""
@@ -379,7 +421,7 @@ class Trainer:
             valid = np.zeros((bs,), np.float32)
             valid[:c] = 1.0
             s = self.score(
-                state.params, state.ema, state.sched, h, g,
+                state.params, state.ema, state.sched, h, g, adj2,
                 jnp.asarray(chunk), jnp.asarray(valid),
             )
             out.append(np.asarray(s[:c]))
@@ -392,16 +434,16 @@ class Trainer:
         adjacency for the test split."""
         se = self.ds.split_edge
         h = self.encode(state.params, self.g)
-        pos_train = self._score_split(state, h, self.g, se["train"]["edge"])
-        pos_valid = self._score_split(state, h, self.g, se["valid"]["edge"])
-        neg_valid = self._score_split(state, h, self.g, se["valid"]["edge_neg"])
+        pos_train = self._score_split(state, h, self.g, se["train"]["edge"], self.adj2)
+        pos_valid = self._score_split(state, h, self.g, se["valid"]["edge"], self.adj2)
+        neg_valid = self._score_split(state, h, self.g, se["valid"]["edge_neg"], self.adj2)
         if self.cfg.use_valedges_as_input:
             h = self.encode(state.params, self.full_g)
-            g_test = self.full_g
+            g_test, a2_test = self.full_g, self.full_adj2
         else:
-            g_test = self.g
-        pos_test = self._score_split(state, h, g_test, se["test"]["edge"])
-        neg_test = self._score_split(state, h, g_test, se["test"]["edge_neg"])
+            g_test, a2_test = self.g, self.adj2
+        pos_test = self._score_split(state, h, g_test, se["test"]["edge"], a2_test)
+        neg_test = self._score_split(state, h, g_test, se["test"]["edge_neg"], a2_test)
         results = {}
         for k in (20, 50, 100):
             results[f"Hits@{k}"] = (
@@ -420,9 +462,9 @@ class Trainer:
             src = se[part]["source_node"]
             tgt = se[part]["target_node"]
             negs = se[part]["target_node_neg"]  # (n, num_neg)
-            pos = self._score_split(state, h, self.g, np.stack([src, tgt], 1))
+            pos = self._score_split(state, h, self.g, np.stack([src, tgt], 1), self.adj2)
             n, m = negs.shape
             flat = np.stack([np.repeat(src, m), negs.reshape(-1)], 1)
-            neg = self._score_split(state, h, self.g, flat).reshape(n, m)
+            neg = self._score_split(state, h, self.g, flat, self.adj2).reshape(n, m)
             out[part] = M.mrr(pos, neg)
         return out

@@ -32,6 +32,12 @@ class _GraphCore:
         lib.gc_negative_sampling.argtypes = [
             i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p]
         lib.gc_negative_sampling.restype = ctypes.c_int64
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.gc_adj2_csr.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.gc_adj2_csr.restype = None
+        self._f32p = f32p
 
     def csr_from_edges(self, edge_index: np.ndarray, n_nodes: int):
         ei = np.ascontiguousarray(edge_index, np.int64)
@@ -49,6 +55,23 @@ class _GraphCore:
         out = np.zeros((ne, 2), np.int32)
         self._lib.gc_edge_positions(indptr, col, col.shape[0], edges, ne, out)
         return out
+
+    def adj2_csr(self, indptr: np.ndarray, col: np.ndarray, n_nodes: int,
+                 cap: int = 1024):
+        """Row-capped A^2 CSR (see native/graphcore.cpp gc_adj2_csr)."""
+        indptr = np.ascontiguousarray(indptr, np.int32)
+        col = np.ascontiguousarray(col, np.int32)
+        out_indptr = np.zeros(n_nodes + 1, np.int32)
+        self._lib.gc_adj2_csr(indptr, col, n_nodes, cap, out_indptr, None, None)
+        nnz = int(out_indptr[n_nodes])
+        out_col = np.zeros(nnz, np.int32)
+        out_val = np.zeros(nnz, np.float32)
+        self._lib.gc_adj2_csr(
+            indptr, col, n_nodes, cap, out_indptr,
+            out_col.ctypes.data_as(ctypes.c_void_p),
+            out_val.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out_indptr, out_col, out_val
 
     def negative_sampling(self, sorted_keys: np.ndarray, n_nodes: int, num: int, seed: int):
         sorted_keys = np.ascontiguousarray(sorted_keys, np.int64)

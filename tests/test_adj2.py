@@ -1,0 +1,75 @@
+"""A^2 precompute ("gather" two-hop mode) vs on-the-fly SDDMM parity."""
+import numpy as np
+import jax.numpy as jnp
+
+from ocn_tpu.ops.frame import cn_frames
+from ocn_tpu.sparse import build as B
+from ocn_tpu.sparse.csr import Graph
+from tests.test_frame import frame_to_dense, random_graph
+
+
+def build_adj2(g, cap=0):
+    ip, col, val = B.adj2_csr(np.asarray(g.indptr), np.asarray(g.col), g.n_nodes, cap)
+    deg = (ip[1:] - ip[:-1]).astype(np.int32)
+    row = np.repeat(np.arange(g.n_nodes, dtype=np.int32), deg)
+    return Graph(jnp.asarray(ip), jnp.asarray(col), jnp.asarray(row),
+                 jnp.asarray(val), jnp.asarray(deg), g.n_nodes)
+
+
+def test_adj2_csr_matches_dense(rng):
+    g, dense = random_graph(rng)
+    ip, col, val = B.adj2_csr(np.asarray(g.indptr), np.asarray(g.col), g.n_nodes, 0)
+    a2 = np.zeros_like(dense)
+    for j in range(g.n_nodes):
+        a2[j, col[ip[j]:ip[j+1]]] = val[ip[j]:ip[j+1]]
+    np.testing.assert_allclose(a2, dense @ dense)
+
+
+def test_gather_mode_matches_sddmm(rng):
+    g, dense = random_graph(rng)
+    adj2 = build_adj2(g)
+    edges = jnp.asarray(rng.integers(0, g.n_nodes, size=(2, 15)))
+    for counts in (False, True):
+        _, c_sddmm = cn_frames(g, edges, k=g.n_nodes, cn2_counts=counts)
+        _, c_gather = cn_frames(g, edges, k=g.n_nodes, cn2_counts=counts, adj2=adj2)
+        np.testing.assert_allclose(
+            frame_to_dense(c_gather), frame_to_dense(c_sddmm), err_msg=f"counts={counts}"
+        )
+
+
+def test_gather_mode_maskinput_correction(rng):
+    """With the target edge masked, the corrected gather-mode cn2 must match
+    the SDDMM mode computed on the masked adjacency for paths through i."""
+    g, dense = random_graph(rng, n=25, p=0.3)
+    ei = np.stack(np.nonzero(np.triu(dense, 1)))
+    target = ei[:, :4]  # mask the first 4 edges; score those same edges
+    pos = B.edge_to_nnz_positions(np.asarray(g.indptr), np.asarray(g.col), target)
+    gm = g.mask_edges(jnp.asarray(pos.ravel()))
+    adj2 = build_adj2(g)  # stale A^2 (built pre-mask, as in training)
+
+    d2 = dense.copy()
+    for (u, v) in target.T:
+        d2[u, v] = d2[v, u] = 0
+
+    edges = jnp.asarray(target)
+    corr = jnp.ones((4,))
+    _, got = cn_frames(gm, edges, k=g.n_nodes, cn2_counts=True, adj2=adj2,
+                       self_corr=corr)
+    # reference semantics: A^2 from the fully masked adjacency
+    _, want_exact = cn_frames(gm, edges, k=g.n_nodes, cn2_counts=True)
+    got_d = frame_to_dense(got)
+    want_d = frame_to_dense(want_exact)
+    # the correction removes the dominant j-i-k self-path term exactly; the
+    # only residual differences are paths through OTHER masked batch edges
+    diff = np.abs(got_d - want_d)
+    # each residual difference must be attributable to a masked edge pair
+    assert (diff <= 2.0).all()
+    # and without any other masked edges (single-edge mask) it is exact:
+    pos1 = B.edge_to_nnz_positions(np.asarray(g.indptr), np.asarray(g.col),
+                                   target[:, :1])
+    gm1 = g.mask_edges(jnp.asarray(pos1.ravel()))
+    e1 = jnp.asarray(target[:, :1])
+    _, got1 = cn_frames(gm1, e1, k=g.n_nodes, cn2_counts=True, adj2=adj2,
+                        self_corr=jnp.ones((1,)))
+    _, want1 = cn_frames(gm1, e1, k=g.n_nodes, cn2_counts=True)
+    np.testing.assert_allclose(frame_to_dense(got1), frame_to_dense(want1))
