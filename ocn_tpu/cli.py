@@ -113,9 +113,24 @@ def run(cfg: Config) -> dict:
                                {"trn": trn, "val": val, "tst": tst}, epoch)
                 if val > best[key][1]:
                     best[key] = [trn, val, tst]
+                    # best-by-validation artifact saves (reference
+                    # NeighborOverlap_large.py:334-340)
                     if cfg.savemod and cfg.checkpoint_dir:
                         from ocn_tpu.train.checkpoint import save_state
                         save_state(cfg.checkpoint_dir, state, epoch)
+                    if cfg.save_gemb:
+                        from ocn_tpu.train.checkpoint import save_embeddings
+                        h_best = tr.encode(state.params, tr.g)
+                        save_embeddings(
+                            f"gemb/{cfg.dataset}_{cfg.model}_{cfg.predictor}"
+                            f"_{cfg.hiddim}.npy", h_best)
+                    if cfg.savex:
+                        from ocn_tpu.train.checkpoint import save_embeddings
+                        emb = state.params["encoder"].get("Embed_0", {}).get("embedding")
+                        if emb is not None:
+                            save_embeddings(
+                                f"gemb/{cfg.dataset}_{cfg.model}_{cfg.predictor}"
+                                f"_{cfg.hiddim}_{run_i}.npy", emb)
                 print(
                     f"{key}  Run: {run_i + 1:02d}, Epoch: {epoch:02d}, "
                     f"Loss: {loss:.4f}, Train: {100 * trn:.2f}%, "

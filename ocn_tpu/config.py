@@ -175,6 +175,23 @@ _PRESETS = {
         preedp=0.4, gnnlr=0.0085, prelr=0.0078, batch_size=384,
         model="puremean", predictor="cn7", testbs=4096, epochs=100, runs=10,
     ),
+    # SPD.py equivalent: citation2 with exactly-distance-2 cn2 (SPD.py:65-95)
+    ("citation2", "spd"): dict(
+        predictor="cn5", dataset="citation2", epochs=20, runs=10, hiddim=64,
+        mplayers=3, gnndp=0.3, model="puregcn", maskinput=True,
+        batch_size=32768, linkbatchsize=2048, testbs=8192, gnnlr=0.001,
+        prelr=0.001, predp=0.3, preedp=0.3, encoder_stack="ho",
+        cn2_counts=True, exact_two_hop=True, two_hop_mode="sddmm",
+    ),
+    # PLNLP.py equivalent: collab with a ranking loss (PLNLP.py:155-191)
+    ("collab", "plnlp"): dict(
+        predictor="cn5", dataset="collab", epochs=100, runs=10, hiddim=256,
+        mplayers=3, gnndp=0.25, ln=True, model="gcn", testbs=131072,
+        maskinput=True, jk=True, use_valedges_as_input=True, res=True,
+        use_xlin=True, tailact=True, batch_size=65536, gnnlr=0.001,
+        prelr=0.001, predp=0.3, preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25,
+        losstrick="auc_loss",
+    ),
     ("collab", "cn7"): dict(
         predictor="cn7", dataset="collab", epochs=100, runs=10, hiddim=256,
         mplayers=3, gnndp=0.25, ln=True, model="gin", testbs=131072,
@@ -186,8 +203,15 @@ _PRESETS = {
 
 
 def presets(dataset: str, predictor: str = "cn5", **overrides) -> Config:
+    """Look up the README preset for (dataset, predictor).
+
+    ``predictor`` may also be a driver alias ("spd", "plnlp") whose preset
+    pins its own real predictor key.
+    """
     base = dict(_PRESETS.get((dataset, predictor), {}))
+    base.setdefault("dataset", dataset)
+    if "predictor" not in base:
+        base["predictor"] = predictor
     base["dataset"] = dataset
-    base["predictor"] = predictor
     base.update(overrides)
     return Config(**base)

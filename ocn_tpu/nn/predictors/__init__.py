@@ -79,6 +79,7 @@ def build_predictor(name: str, hidden: int, n_nodes: int, **kw: Any):
         )
     if name in ("cn2", "cn3", "cn4"):
         return IncompleteCNPredictor(
+            higher_order=(name == "cn3"),
             alpha_init=kw.get("alpha", 1.0),
             scale=kw.get("probscale", 5.0),
             offset=kw.get("proboffset", 3.0),

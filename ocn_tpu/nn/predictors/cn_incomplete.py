@@ -40,7 +40,12 @@ import jax
 import jax.numpy as jnp
 
 from ocn_tpu.nn.mlp import CNAggMLP, HeadMLP, XLin, XijMLP
-from ocn_tpu.ops.frame import CNFrame, cn_residual_frames
+from ocn_tpu.ops.frame import (
+    CNFrame,
+    _rowwise_membership,
+    cn_residual_frames,
+    gather_neighbors,
+)
 from ocn_tpu.ops.ortho import colnorm_plain, colnorm_quirk
 from ocn_tpu.ops.sample import sample_frame
 from ocn_tpu.sparse.csr import Graph
@@ -68,6 +73,7 @@ class IncompleteCNPredictor(nn.Module):
     learnablept: bool = False
     depth: int = 1
     k: int = 32  # candidate-frame width (neighbor cap)
+    higher_order: bool = False  # cn3: also complete the 2-hop CN order
 
     def setup(self):
         self.beta = self.param(
@@ -87,6 +93,19 @@ class IncompleteCNPredictor(nn.Module):
             self.ptlin2 = nn.Dense(1)
 
     def __call__(
+        self,
+        x: jax.Array,
+        g: Graph,
+        tar_ei: jax.Array,
+        training: bool = False,
+        depth: Optional[int] = None,
+        adj2: Optional[Graph] = None,
+    ) -> jax.Array:
+        if self.higher_order:
+            return self._forward_higher_order(x, g, tar_ei, training, depth, adj2)
+        return self._forward_1hop(x, g, tar_ei, training, depth)
+
+    def _forward_1hop(
         self,
         x: jax.Array,
         g: Graph,
@@ -165,3 +184,110 @@ class IncompleteCNPredictor(nn.Module):
 
         z = self.xcnlin(xcn, det)
         return self.head(z * self.beta + xij, det)
+
+    def _score_res(self, x, g, res: CNFrame, anchor, training, depth, adj2, xij):
+        """Recursive scoring + Bayes-odds clamp of one residual frame
+        (model.py:924-957): potential edges (anchor_e, k) scored at depth-1
+        under stop_gradient, clamped, and multiplied into the residual
+        weights."""
+        b, r = res.ids.shape
+        cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
+        anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
+        ei = jnp.stack([anchors, cand])
+        prob = jax.lax.stop_gradient(
+            self(x, g, ei, training=False, depth=depth - 1, adj2=adj2)
+        ).reshape(b, r)
+        if self.learnablept:
+            pt = nn.sigmoid(self.ptlin2(nn.relu(self.ptlin1(xij))))
+        else:
+            pt = self.pt
+        p0 = jax.nn.sigmoid(self.scale * (prob - self.offset))
+        prob = self.alpha2.value * pt * p0 / (pt * p0 + 1 - p0)
+        return res.with_values(res.val * prob * res.mask)
+
+    def _forward_higher_order(
+        self,
+        x: jax.Array,
+        g: Graph,
+        tar_ei: jax.Array,
+        training: bool = False,
+        depth: Optional[int] = None,
+        adj2: Optional[Graph] = None,
+    ) -> jax.Array:
+        """cn3 (reference IncompleteCN1Predictorhighorder, model.py:1150-1522).
+
+        Differences from cn2, all preserved:
+        * also builds the 2-hop CN set cn22 = N(i) /\\ N2(j) with residuals
+          against the (precomputed, row-capped) A^2 (model.py:1214-1240; the
+          reference recomputes A^2 internally, :1211-1212);
+        * ncn1 uses empty_fill = 1 (model.py:1253 `inv_col_sum[...] = 1`);
+        * cn22 is Gram-Schmidt-projected against ncn1 and renormalized
+          (:1247-1409);
+        * residual completion is applied to BOTH orders, *without*
+          orthogonalizing the residuals (:1416-1493);
+        * head: lin(xcnlin(xcn_1hop)*beta + xcnlin(xcn_2hop)*beta + xij),
+          same xcnlin for both (:1497-1504).
+        """
+        assert adj2 is not None, "cn3 requires the precomputed A^2 graph"
+        depth = self.depth if depth is None else depth
+        det = not training
+
+        if training and self.edrop > 1e-6:
+            g = g.drop_edges(self.make_rng("dropout"), self.edrop)
+        sample_key = (
+            self.make_rng("sample") if training and self.has_rng("sample") else None
+        )
+        kk = jax.random.split(sample_key, 6) if sample_key is not None else [None] * 6
+
+        xij_raw = x[tar_ei[0]] * x[tar_ei[1]]
+        xij = self.xijlin(xij_raw, det)
+        x_aug = x + (self.xlin(x, det) if self.use_xlin else 0.0)
+        resdeg = self.trainresdeg if training else self.testresdeg
+
+        # 1-hop CN + residuals (src/dst frames)
+        cn, res1, res2 = cn_residual_frames(g, tar_ei, self.k, kk[0])
+        # 2-hop: candidates vs the A^2 row of j
+        src = gather_neighbors(g, tar_ei[0], self.k, kk[1])
+        a2row = gather_neighbors(adj2, tar_ei[1], self.k, kk[2])
+        in_a2 = _rowwise_membership(src.ids, a2row.ids, a2row.w)
+        in_src = _rowwise_membership(a2row.ids, src.ids, src.w)
+        cn22 = CNFrame(src.ids, jnp.where(in_a2 != 0, src.w, 0.0), g.n_nodes)
+        cn2res1 = CNFrame(src.ids, jnp.where(in_a2 == 0, src.w, 0.0), g.n_nodes)
+        cn2res2 = CNFrame(
+            a2row.ids, jnp.where(in_src == 0, (a2row.w != 0) * 1.0, 0.0), g.n_nodes
+        )
+        if self.cndeg > 0:
+            cn = sample_frame(cn, self.cndeg, kk[3])
+            cn22 = sample_frame(cn22, self.cndeg, kk[3])
+
+        # ncn1 with fill=1 (model.py:1253), EMA + Gram-Schmidt of cn22
+        ncn1 = colnorm_quirk(cn, 1.0)
+        if training and not self.is_initializing():
+            new_n = self.nvar.value + 1
+            b = 1.0 / new_n.astype(jnp.float32)
+            self.ema.value = (1.0 - b) * self.ema.value + b * cn22.inner(ncn1)
+            self.nvar.value = new_n
+        inner = self.ema.value
+        scale = jnp.max(jnp.abs(ncn1.val))
+        nip = jnp.where(scale > 0, inner / scale, inner)
+        ncn22 = colnorm_plain(cn22.with_values(
+            jnp.where(cn22.mask | ncn1.mask, cn22.val - nip * ncn1.val, 0.0)))
+
+        xcn_1 = ncn1.matmul(x_aug)
+        xcn_2 = ncn22.matmul(x_aug)
+
+        if depth > 0:
+            if resdeg > 0:
+                res1 = sample_frame(res1, resdeg, kk[4])
+                res2 = sample_frame(res2, resdeg, kk[4])
+                cn2res1 = sample_frame(cn2res1, resdeg, kk[5])
+                cn2res2 = sample_frame(cn2res2, resdeg, kk[5])
+            res1 = self._score_res(x, g, res1, tar_ei[1], training, depth, adj2, xij)
+            res2 = self._score_res(x, g, res2, tar_ei[0], training, depth, adj2, xij)
+            cn2res1 = self._score_res(x, g, cn2res1, tar_ei[1], training, depth, adj2, xij)
+            cn2res2 = self._score_res(x, g, cn2res2, tar_ei[0], training, depth, adj2, xij)
+            xcn_1 = xcn_1 + res1.matmul(x_aug) + res2.matmul(x_aug)
+            xcn_2 = xcn_2 + cn2res1.matmul(x_aug) + cn2res2.matmul(x_aug)
+
+        z = self.xcnlin(xcn_1, det) * self.beta + self.xcnlin(xcn_2, det) * self.beta
+        return self.head(z + xij, det)

@@ -78,45 +78,68 @@ def gather_neighbors(
     nodes: jax.Array,
     k: int,
     key: Optional[jax.Array] = None,
+    sampling: str = "window",
 ) -> NeighborFrame:
     """Gather the (<=k)-padded neighbor list of each node in ``nodes``.
 
-    Rows with structural degree <= k are taken exactly (already sorted in the
-    CSR); rows with degree > k are uniformly sampled with replacement and
-    reweighted by deg/k, replicating `sparsesample_reweight` (reference
-    utils.py:109-143; the reference concedes this approximation via its
-    cndeg/trndeg/tstdeg flags).  If ``key`` is None, capped rows take their
-    first k entries deterministically (eval-friendly).
+    Rows with structural degree <= k are taken exactly; rows with degree > k
+    are degree-capped with importance weight deg/k, replicating
+    `sparsesample_reweight` (reference utils.py:109-143; the reference
+    concedes this approximation via its cndeg/trndeg/tstdeg flags).  With
+    ``key=None`` capped rows take their first k entries deterministically.
+
+    ``sampling="window"`` (default, TPU-fast): capped rows take a contiguous
+    window of k entries at a uniform offset.  Every entry has inclusion
+    probability k/deg, so deg/k-weighted sums stay unbiased (systematic /
+    Horvitz-Thompson sampling); only the cross-entry correlation differs from
+    the reference's iid draw.  The whole gather then lowers to one
+    slice-gather (rows are contiguous in the CSR) — no per-element dynamic
+    gathers, no re-sort (windows inherit CSR sortedness).
+
+    ``sampling="iid"``: the reference's with-replacement draw (per-element
+    gather positions + a lane re-sort); keep for strict-parity experiments.
 
     Adjacency values at the gathered positions multiply the weights, so
-    entries masked to 0 (maskinput / DropAdj) vanish from the frame.
+    entries masked to 0 (maskinput / DropAdj) drop out by value.  Lanes with
+    w == 0 may carry arbitrary ids; all consumers are value-masked.
     """
     nodes = nodes.astype(jnp.int32)
     deg = g.deg[nodes]  # (B,)
     start = g.indptr[nodes]  # (B,)
     b = nodes.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-
-    exact_off = jnp.minimum(lane, jnp.maximum(deg, 1)[:, None] - 1)
-    if key is not None:
-        u = jax.random.uniform(key, (b, k))
-        samp_off = jnp.minimum((u * deg[:, None]).astype(jnp.int32), deg[:, None] - 1)
-    else:
-        samp_off = exact_off
     capped = deg > k
+    w_row = jnp.where(capped, deg.astype(jnp.float32) / k, 1.0)
+    valid = lane < jnp.minimum(deg, k)[:, None]
+
+    if sampling == "window" or key is None:
+        if key is not None:
+            u = jax.random.uniform(key, (b,))
+            woff = jnp.where(
+                capped, (u * (deg - k + 1).astype(jnp.float32)).astype(jnp.int32), 0
+            )
+        else:
+            woff = jnp.zeros_like(deg)
+        pos0 = jnp.minimum(start + woff, jnp.maximum(g.col.shape[0] - k, 0))
+        ids = jax.vmap(lambda p: jax.lax.dynamic_slice(g.col, (p,), (k,)))(pos0)
+        vals = jax.vmap(lambda p: jax.lax.dynamic_slice(g.val, (p,), (k,)))(pos0)
+        w = jnp.where(valid, w_row[:, None] * vals, 0.0)
+        # invalid suffix lanes read into the next CSR row; sentinel-ize them so
+        # rows stay ascending for the searchsorted membership fallback
+        ids = jnp.where(valid, ids, g.n_nodes)
+        return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes)
+
+    # iid with-replacement path (reference-parity sampler)
+    exact_off = jnp.minimum(lane, jnp.maximum(deg, 1)[:, None] - 1)
+    u = jax.random.uniform(key, (b, k))
+    samp_off = jnp.minimum((u * deg[:, None]).astype(jnp.int32), deg[:, None] - 1)
     off = jnp.where(capped[:, None], samp_off, exact_off)
     pos = jnp.minimum(start[:, None] + off, g.col.shape[0] - 1)
-
     ids = g.col[pos]
     vals = g.val[pos]
-    valid = lane < jnp.minimum(deg, jnp.where(capped, k, deg))[:, None]
-    w_row = jnp.where(capped, deg.astype(jnp.float32) / k, 1.0)
     w = jnp.where(valid, w_row[:, None] * vals, 0.0)
     ids = jnp.where(valid & (vals != 0), ids, g.n_nodes)
-
-    # (ids, w) must be jointly sorted by id so sorted-search intersection works;
-    # sampled rows are unsorted and masked lanes moved to the sentinel, so one
-    # static sort covers every case.
+    # keep ids sorted for the searchsorted membership fallback
     order = jnp.argsort(ids, axis=-1)
     ids = jnp.take_along_axis(ids, order, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)

@@ -107,6 +107,12 @@ class Graph:
         return jax.ops.segment_sum(self.val, self.row, num_segments=self.n_nodes)
 
 
+# tail padding so neighbor-window slice-gathers (ops/frame.py) never clamp
+# backwards near the end of the nnz arrays; padded entries have val == 0 and
+# row/col == 0, so COO segment reductions see only zeros.
+GATHER_PAD = 4096
+
+
 def graph_from_numpy(
     indptr: np.ndarray,
     col: np.ndarray,
@@ -120,6 +126,10 @@ def graph_from_numpy(
     row = np.repeat(np.arange(n_nodes, dtype=np.int32), deg)
     if val is None:
         val = np.ones_like(col, np.float32)
+    pad = GATHER_PAD
+    col = np.concatenate([col, np.zeros(pad, np.int32)])
+    row = np.concatenate([row, np.zeros(pad, np.int32)])
+    val = np.concatenate([np.asarray(val, np.float32), np.zeros(pad, np.float32)])
     return Graph(
         indptr=jnp.asarray(indptr),
         col=jnp.asarray(col),

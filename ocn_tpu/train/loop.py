@@ -93,7 +93,7 @@ class Trainer:
         # graph instead of the reference's per-batch cuSPARSE SpGEMM)
         self.adj2 = None
         self.full_adj2 = None
-        if cfg.two_hop_mode == "gather" and self.frame_based:
+        if cfg.two_hop_mode == "gather" and (self.frame_based or cfg.predictor == "cn3"):
             self.adj2 = self._build_adj2(self.g)
             self.full_adj2 = (
                 self._build_adj2(self.full_g)
@@ -115,21 +115,13 @@ class Trainer:
         self._build_steps()
 
     def _build_adj2(self, g: Graph) -> Graph:
-        from ocn_tpu.sparse.csr import Graph as G
+        from ocn_tpu.sparse.csr import graph_from_numpy
 
-        ip, col, val = B.adj2_csr(
-            np.asarray(g.indptr), np.asarray(g.col), g.n_nodes,
-            cap=self.cfg.adj2_cap,
-        )
-        deg = (ip[1:] - ip[:-1]).astype(np.int32)
-        row = np.repeat(np.arange(g.n_nodes, dtype=np.int32), deg)
-        import jax.numpy as jnp_
-
-        return G(
-            indptr=jnp_.asarray(ip), col=jnp_.asarray(col),
-            row=jnp_.asarray(row), val=jnp_.asarray(val),
-            deg=jnp_.asarray(deg), n_nodes=g.n_nodes,
-        )
+        # true (unpadded) nnz extent is indptr[-1]
+        ip = np.asarray(g.indptr)
+        col = np.asarray(g.col)[: int(ip[-1])]
+        ip2, col2, val2 = B.adj2_csr(ip, col, g.n_nodes, cap=self.cfg.adj2_cap)
+        return graph_from_numpy(ip2, col2, g.n_nodes, val2)
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> TrainState:
@@ -170,7 +162,7 @@ class Trainer:
         else:
             pred_vars = self.predictor.init(
                 {"params": k_pred, "dropout": k_pred, "sample": k_smp},
-                h0, self.g, ei0, False,
+                h0, self.g, ei0, False, adj2=self.adj2,
             )
         params = {"encoder": enc_vars["params"], "predictor": pred_vars["params"]}
         ema = pred_vars.get("ema", {})
@@ -245,7 +237,7 @@ class Trainer:
         else:
             out, upd = self.predictor.apply(
                 variables, h, g, edges, training,
-                rngs=rngs, mutable=["ema"],
+                rngs=rngs, mutable=["ema"], adj2=adj2,
             )
         return out.reshape(-1), upd.get("ema", ema)
 

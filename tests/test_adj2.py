@@ -9,11 +9,12 @@ from tests.test_frame import frame_to_dense, random_graph
 
 
 def build_adj2(g, cap=0):
-    ip, col, val = B.adj2_csr(np.asarray(g.indptr), np.asarray(g.col), g.n_nodes, cap)
-    deg = (ip[1:] - ip[:-1]).astype(np.int32)
-    row = np.repeat(np.arange(g.n_nodes, dtype=np.int32), deg)
-    return Graph(jnp.asarray(ip), jnp.asarray(col), jnp.asarray(row),
-                 jnp.asarray(val), jnp.asarray(deg), g.n_nodes)
+    from ocn_tpu.sparse.csr import graph_from_numpy
+
+    ip = np.asarray(g.indptr)
+    col = np.asarray(g.col)[: int(ip[-1])]
+    ip2, col2, val2 = B.adj2_csr(ip, col, g.n_nodes, cap)
+    return graph_from_numpy(ip2, col2, g.n_nodes, val2)
 
 
 def test_adj2_csr_matches_dense(rng):

@@ -85,3 +85,47 @@ def test_metrics():
     n = np.array([[2.0, 0.5, 0.1]])
     # optimistic rank = 1, pessimistic = 1 -> rank 2 -> 1/2
     assert M.mrr(p, n) == pytest.approx(0.5)
+
+
+def test_train_cn3_higher_order(tiny_ds):
+    cfg = small_cfg(predictor="cn3", depth=1, trndeg=4, tstdeg=8, pad_deg=16)
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
+
+
+def test_train_cn6_three_hop(tiny_ds):
+    cfg = small_cfg(predictor="cn6", pad_deg=12, pad_deg2=12, batch_size=64, testbs=64)
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
+
+
+def test_train_cn1_and_cn9_onehot(tiny_ds):
+    for pred in ("cn1", "cn9"):
+        cfg = small_cfg(predictor=pred)
+        tr = Trainer(cfg, tiny_ds)
+        state = tr.init_state(0)
+        state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+        assert np.isfinite(loss), pred
+
+
+def test_checkpoint_roundtrip(tiny_ds, tmp_path):
+    import jax
+
+    cfg = small_cfg()
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, _ = tr.train_epoch(state, np.random.default_rng(0), 1)
+    from ocn_tpu.train.checkpoint import load_state, save_state
+
+    save_state(str(tmp_path / "ck"), state, 1)
+    tr2 = Trainer(cfg, tiny_ds)
+    template = tr2.init_state(1)
+    restored, step = load_state(str(tmp_path / "ck"), template)
+    assert step == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
