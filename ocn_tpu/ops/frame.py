@@ -149,6 +149,23 @@ def gather_neighbors(
 # above this Kq*Ks product the O(Kq*Ks) compare tensor stops paying for itself
 _COMPARE_LIMIT = 32768
 
+# tri-state: None = decide from backend at first use
+_USE_PALLAS: Optional[bool] = None
+
+
+def use_pallas_membership() -> bool:
+    """Route membership through the fused Pallas kernel on TPU backends."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        import os
+
+        env = os.environ.get("OCN_TPU_PALLAS")
+        if env is not None:
+            _USE_PALLAS = env not in ("0", "false", "")
+        else:
+            _USE_PALLAS = jax.default_backend() not in ("cpu", "gpu")
+    return _USE_PALLAS
+
 
 def _rowwise_membership(
     query_ids: jax.Array, sorted_ids: jax.Array, sorted_w: jax.Array
@@ -170,6 +187,10 @@ def _rowwise_membership(
     """
     kq, ks = query_ids.shape[-1], sorted_ids.shape[-1]
     if kq * ks <= _COMPARE_LIMIT:
+        if query_ids.ndim == 2 and use_pallas_membership():
+            from ocn_tpu.ops.pallas.membership import membership_counts
+
+            return membership_counts(query_ids, sorted_ids, sorted_w)
         eq = query_ids[..., :, None] == sorted_ids[..., None, :]
         return jnp.sum(jnp.where(eq, sorted_w[..., None, :], 0.0), axis=-1)
     idx = jax.vmap(jnp.searchsorted)(sorted_ids, query_ids)

@@ -206,6 +206,12 @@ class Trainer:
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
                 adj2=adj2, self_corr=corr,
             )
+            if cfg.cndeg > 0:
+                # reference cnsampledeg cap on the CN sets (utils.py:265-266)
+                from ocn_tpu.ops.sample import sample_frame
+
+                cn1 = sample_frame(cn1, cfg.cndeg, frame_key)
+                cn2 = sample_frame(cn2, cfg.cndeg, frame_key)
             # padded/invalid edges must not pollute batch column sums / EMA
             cn1 = cn1.with_values(cn1.val * valid[:, None])
             cn2 = cn2.with_values(cn2.val * valid[:, None])
@@ -293,11 +299,15 @@ class Trainer:
             c = self._chunk()
             b = pos.shape[1]
             nchunk = b // c
+            # one fused scan over [pos chunks ... neg chunks] — preserves the
+            # reference's EMA update order (all positives, then all negatives)
+            # while compiling a single scan body
             posc = pos.reshape(2, nchunk, c).transpose(1, 0, 2)
             negc = neg.reshape(2, nchunk, c).transpose(1, 0, 2)
-            validc = jnp.ones((nchunk, c), self.dtype)
+            allc = jnp.concatenate([posc, negc], axis=0)
+            validc = jnp.ones((2 * nchunk, c), self.dtype)
             g = masked_graph(self.g, mask_positions)
-            k_enc, k_pos, k_neg = jax.random.split(key, 3)
+            k_enc, k_lnk = jax.random.split(key)
 
             def loss_fn(params, ema):
                 h = self.encoder.apply(
@@ -305,13 +315,16 @@ class Trainer:
                     rngs={"dropout": k_enc},
                 )
                 h = self._constrain_tp(h)
-                pos_corr = validc if (cfg.maskinput and self.adj2 is not None) else None
-                pos_out, ema1 = self._scan_scores(
-                    params, ema, state.sched, h, g, posc, validc, k_pos, True,
-                    adj2=self.adj2, corrs=pos_corr)
-                neg_out, ema2 = self._scan_scores(
-                    params, ema1, state.sched, h, g, negc, validc, k_neg, True,
-                    adj2=self.adj2)
+                corrs = None
+                if cfg.maskinput and self.adj2 is not None:
+                    # self-path correction applies to positive chunks only
+                    corrs = jnp.concatenate(
+                        [jnp.ones((nchunk, c), self.dtype),
+                         jnp.zeros((nchunk, c), self.dtype)], axis=0)
+                out, ema2 = self._scan_scores(
+                    params, ema, state.sched, h, g, allc, validc, k_lnk, True,
+                    adj2=self.adj2, corrs=corrs)
+                pos_out, neg_out = out[: b], out[b:]
                 loss = L.LOSSES[cfg.losstrick](
                     pos_out, neg_out, num_neg=1,
                     weight=cfg.lossweight, margin=cfg.lossmargin,

@@ -126,3 +126,79 @@ def test_cn5_forward_parity(rng, ln, tailact, twolayer):
     ).detach().numpy().reshape(-1)
 
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_cn7_forward_parity(rng):
+    """cn7/OCNP forward vs dense torch oracle (reference model.py:3102-3226):
+    quirk-normalized cn1 (fill=args.sum), identity Chebyshev basis, *raw* cn2
+    (its normalization computed-then-discarded)."""
+    from ocn_tpu.nn.predictors.cn_poly import OCNPPredictor
+
+    g, dense = random_graph(rng, n=35, p=0.2)
+    h = rng.standard_normal((g.n_nodes, 16)).astype(np.float32)
+    edges = rng.integers(0, g.n_nodes, size=(2, 10))
+    cn1, cn2 = cn_frames(g, jnp.asarray(edges), k=g.n_nodes)
+    empty_fill = 0.7
+
+    model = OCNPPredictor(hidden=16, empty_fill=empty_fill)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(h), g, cn1, cn2, jnp.asarray(edges), False,
+    )
+    got = np.asarray(model.apply(
+        variables, jnp.asarray(h), g, cn1, cn2, jnp.asarray(edges), False
+    )).reshape(-1)
+
+    d1 = torch.tensor(frame_to_dense(cn1), dtype=torch.float32)
+    d2 = torch.tensor(frame_to_dense(cn2), dtype=torch.float32)
+    ht = torch.tensor(h)
+    cs = d1.sum(0)
+    cs = torch.where(cs == 0, torch.ones_like(cs), cs)
+    inv = torch.where(cs != 1, 1.0 / cs, torch.full_like(cs, empty_fill))
+    nd1 = d1 * inv  # basis T0 == identity diag
+    xcn1 = nd1 @ ht
+    xcn2 = d2 @ ht  # raw cn2 (normalization discarded, model.py:3180-3189)
+
+    p = variables["params"]
+    amlp1 = torch_mlp_from_flax(p["CNAggMLP_0"], None, False)
+    amlp2 = torch_mlp_from_flax(p["CNAggMLP_1"], None, False)
+    xmlp = torch_mlp_from_flax(p["XijMLP_0"], None, False)
+    hmlp = torch_mlp_from_flax(p["HeadMLP_0"], None, False)
+    beta = float(np.asarray(p["beta"])[0])
+    alpha = torch.sigmoid(torch.tensor(np.asarray(p["alpha"]))).cumprod(-1)
+    xij = run_xij(xmlp, ht[edges[0]] * ht[edges[1]], False, False)
+    a1 = run_cnagg(amlp1, xcn1, False)
+    a2 = run_cnagg(amlp2, xcn2, False)
+    want = run_head(
+        hmlp, alpha[0] * a1 + alpha[1] * a2 + beta * xij, False, False
+    ).detach().numpy().reshape(-1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_puregcn_parity(rng):
+    """Full GCNEncoder (puregcn, 2 layers, residual) vs dense torch oracle
+    with copied input-Linear weights (reference GCN forward, model.py:308-323)."""
+    from ocn_tpu.nn.encoder import GCNEncoder
+
+    g, dense = random_graph(rng, n=30, p=0.2)
+    x = rng.standard_normal((g.n_nodes, 12)).astype(np.float32)
+    enc = GCNEncoder(hidden=16, num_layers=2, dropout=0.0, res=True,
+                     conv_fn="puregcn", xdropout=0.0, taildropout=0.0)
+    variables = enc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), g, False,
+    )
+    got = np.asarray(enc.apply(variables, jnp.asarray(x), g, False))
+
+    p = variables["params"]["Dense_0"]
+    w = np.asarray(p["kernel"])
+    b = np.asarray(p["bias"])
+    ht = torch.tensor(x) @ torch.tensor(w) + torch.tensor(b)
+    norm = 1.0 / np.sqrt(1 + dense.sum(1, keepdims=True))
+    dn = torch.tensor(dense, dtype=torch.float32)
+    nt = torch.tensor(norm, dtype=torch.float32)
+    for _ in range(2):
+        xn = nt * ht
+        conv = nt * (dn @ xn + xn)
+        ht = conv + ht  # residual (dims match)
+    np.testing.assert_allclose(got, ht.numpy(), rtol=2e-4, atol=2e-4)
