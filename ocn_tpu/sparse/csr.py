@@ -55,15 +55,21 @@ class Graph:
     val: jax.Array
     deg: jax.Array
     n_nodes: int
+    # transpose permutation: tpos[p] = nnz position of entry (col[p], row[p]).
+    # Exists for symmetric patterns (all OCN graphs); lets the SpMM backward
+    # run as a SORTED segment-sum instead of a scatter (ops/spmm.py).
+    tpos: Optional[jax.Array] = None
 
     # -- pytree plumbing (n_nodes is static aux data) ------------------------
     def tree_flatten(self):
-        return (self.indptr, self.col, self.row, self.val, self.deg), (self.n_nodes,)
+        return (
+            self.indptr, self.col, self.row, self.val, self.deg, self.tpos,
+        ), (self.n_nodes,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        indptr, col, row, val, deg = children
-        return cls(indptr, col, row, val, deg, aux[0])
+        indptr, col, row, val, deg, tpos = children
+        return cls(indptr, col, row, val, deg, aux[0], tpos)
 
     # -- basic properties ----------------------------------------------------
     @property
@@ -126,10 +132,22 @@ def graph_from_numpy(
     row = np.repeat(np.arange(n_nodes, dtype=np.int32), deg)
     if val is None:
         val = np.ones_like(col, np.float32)
+    nnz = col.shape[0]
+    # transpose permutation (valid when the PATTERN is symmetric, which holds
+    # for every graph this framework builds): the inverse of the CSC ordering
+    csc = np.lexsort((row, col))
+    tpos = np.empty(nnz, np.int32)
+    tpos[csc] = np.arange(nnz, dtype=np.int32)
+    pattern_symmetric = bool(
+        np.array_equal(row[csc], col) and np.array_equal(col[csc], row)
+    )
     pad = GATHER_PAD
     col = np.concatenate([col, np.zeros(pad, np.int32)])
-    row = np.concatenate([row, np.zeros(pad, np.int32)])
+    # pad rows with the LAST row id so `row` stays sorted (the zero-valued
+    # pad entries then feed sorted segment-sums harmlessly)
+    row = np.concatenate([row, np.full(pad, max(n_nodes - 1, 0), np.int32)])
     val = np.concatenate([np.asarray(val, np.float32), np.zeros(pad, np.float32)])
+    tpos = np.concatenate([tpos, np.arange(nnz, nnz + pad, dtype=np.int32)])
     return Graph(
         indptr=jnp.asarray(indptr),
         col=jnp.asarray(col),
@@ -137,4 +155,5 @@ def graph_from_numpy(
         val=jnp.asarray(val, jnp.float32),
         deg=jnp.asarray(deg),
         n_nodes=int(n_nodes),
+        tpos=jnp.asarray(tpos) if pattern_symmetric else None,
     )

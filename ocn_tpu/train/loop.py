@@ -264,6 +264,60 @@ class Trainer:
         (ema_f, _), outs = jax.lax.scan(body, (ema, 0), (edges, valid, corrs))
         return outs.reshape(-1), ema_f
 
+    def _scan_scores_hoisted(self, params, ema, sched, h, g, edges, valid, key,
+                             training, adj2, corrs):
+        """Frame-based fast path: extract CN frames for the WHOLE batch in one
+        vectorized shot (gathers/membership outside the serialized scan), then
+        scan the predictor over per-chunk frame slices.  Column sums stay
+        per-chunk inside the predictor, preserving the reference's
+        per-linkbatch normalization semantics."""
+        cfg = self.cfg
+        nchunk, _, c = edges.shape
+        flat = edges.transpose(1, 0, 2).reshape(2, nchunk * c)
+        if training:
+            key_frames, key = jax.random.split(key)
+        else:
+            key_frames = None
+        cn1, cn2 = cn_frames(
+            g, flat, k=cfg.pad_deg, k2=cfg.pad_deg2, key=key_frames,
+            cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+            adj2=adj2, self_corr=None if corrs is None else corrs.reshape(-1),
+        )
+        if cfg.cndeg > 0:
+            from ocn_tpu.ops.sample import sample_frame
+
+            cn1 = sample_frame(cn1, cfg.cndeg, key_frames)
+            cn2 = sample_frame(cn2, cfg.cndeg, key_frames)
+        vflat = valid.reshape(-1)
+        cn1 = cn1.with_values(cn1.val * vflat[:, None])
+        cn2 = cn2.with_values(cn2.val * vflat[:, None])
+        k1 = cn1.ids.shape[-1]
+        ids_c = cn1.ids.reshape(nchunk, c, k1)
+        v1_c = cn1.val.reshape(nchunk, c, k1)
+        v2_c = cn2.val.reshape(nchunk, c, cn2.ids.shape[-1])
+
+        from ocn_tpu.ops.frame import CNFrame
+
+        def body(carry, inp):
+            ema_c, i = carry
+            e, ids, v1, v2 = inp
+            rngs = {}
+            if training:
+                kd = jax.random.fold_in(key, i)
+                rngs = {"dropout": kd}
+            variables = {"params": params["predictor"], "ema": ema_c,
+                         "sched": sched}
+            out, upd = self.predictor.apply(
+                variables,
+                h, g, CNFrame(ids, v1, g.n_nodes), CNFrame(ids, v2, g.n_nodes),
+                e, training, rngs=rngs, mutable=["ema"],
+            )
+            return (upd.get("ema", ema_c), i + 1), out.reshape(-1)
+
+        (ema_f, _), outs = jax.lax.scan(
+            body, (ema, 0), (edges, ids_c, v1_c, v2_c))
+        return outs.reshape(-1), ema_f
+
     # ------------------------------------------------------------ train step
     def _build_steps(self):
         cfg = self.cfg
@@ -321,7 +375,12 @@ class Trainer:
                     corrs = jnp.concatenate(
                         [jnp.ones((nchunk, c), self.dtype),
                          jnp.zeros((nchunk, c), self.dtype)], axis=0)
-                out, ema2 = self._scan_scores(
+                scan_fn = (
+                    self._scan_scores_hoisted
+                    if (self.frame_based and cfg.predictor not in THREE_HOP)
+                    else self._scan_scores
+                )
+                out, ema2 = scan_fn(
                     params, ema, state.sched, h, g, allc, validc, k_lnk, True,
                     adj2=self.adj2, corrs=corrs)
                 pos_out, neg_out = out[: b], out[b:]
