@@ -92,6 +92,12 @@ def run(cfg: Config) -> dict:
                              synthetic_scale=cfg.synthetic_scale)
         tr = Trainer(cfg, ds)
         state = tr.init_state(cfg.seed + run_i)
+        if cfg.loadmod and cfg.checkpoint_dir:
+            # resume full TrainState (reference --loadmod only restored
+            # weights; orbax restores optimizer/EMA state too)
+            from ocn_tpu.train.checkpoint import load_state
+            state, step0 = load_state(cfg.checkpoint_dir, state)
+            print(f"resumed from {cfg.checkpoint_dir} step {step0}", flush=True)
         rng = np.random.default_rng(cfg.seed + run_i)
         best = None
         for epoch in range(1, cfg.epochs + 1):

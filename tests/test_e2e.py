@@ -129,3 +129,32 @@ def test_checkpoint_roundtrip(tiny_ds, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_mrr_eval_citation2_style():
+    ds = synthetic_dataset("citation2", seed=0, scale=0.0002)  # ~600 nodes
+    cfg = small_cfg(dataset="citation2", encoder_stack="ho", model="puregcn",
+                    cn2_counts=True, batch_size=64, testbs=128)
+    tr = Trainer(cfg, ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    out = tr.evaluate_mrr(state)
+    assert 0.0 <= out["valid"] <= 1.0 and 0.0 <= out["test"] <= 1.0
+
+
+def test_embedding_encoder_ddi_style():
+    ds = synthetic_dataset("ddi", seed=0, scale=0.05)  # node-id features
+    assert ds.max_x >= 0
+    cfg = small_cfg(dataset="ddi", model="puresum", batch_size=64, testbs=64)
+    tr = Trainer(cfg, ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
+
+
+def test_ho_stack_gcn_encoder(tiny_ds):
+    cfg = small_cfg(encoder_stack="ho", model="gcn", mplayers=2)
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
