@@ -82,6 +82,9 @@ class Config:
     count2_chunk: int = 4096         # edge chunk for on-the-fly A^2 counts
     two_hop_mode: str = "gather"     # "gather": precomputed row-capped A^2;
                                      # "sddmm": on-the-fly exact counts
+    hoist_frames: bool = False       # build CN frames for the whole batch
+                                     # outside the link scan (faster steps,
+                                     # much slower XLA compile at batch 65536)
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     cn2_counts: bool = False         # True => pygho-stack path-count values
     exact_two_hop: bool = False      # SPD.py exactly-distance-2 semantics

@@ -254,14 +254,11 @@ class CNFrame:
     def matmul(self, x: jax.Array) -> jax.Array:
         """cn @ x  ==  spmm_add(cn, x) (reference model.py:2426-2427).
 
-        Gather-then-contract: (B, K, H) rows of x weighted by val, reduced
-        over K on the MXU.  Sentinel lanes carry val == 0, so clamping their
-        gather to a real row contributes nothing.
+        Gather-then-contract forward; custom backward whose dx accumulation
+        is a sort + SORTED segment-sum instead of an unsorted scatter-add
+        (TPU scatters run ~10x off roofline; see BENCH_NOTES.md).
         """
-        rows = x[jnp.minimum(self.ids, self.n_nodes - 1)]  # (B, K, H)
-        return jnp.einsum(
-            "bk,bkh->bh", self.val, rows, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        return _frame_matmul(x, self.ids, self.val, self.n_nodes)
 
     def inner(self, other: "CNFrame") -> jax.Array:
         """<self, other> = sum of elementwise products over the shared
@@ -273,6 +270,45 @@ class CNFrame:
 def pad_features(x: jax.Array) -> jax.Array:
     """Append one zero row so that sentinel id == n_nodes gathers zeros."""
     return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _frame_matmul(x, ids, val, n_nodes):
+    rows = x[jnp.minimum(ids, n_nodes - 1)]  # (B, K, H)
+    return jnp.einsum(
+        "bk,bkh->bh", val, rows, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _frame_matmul_fwd(x, ids, val, n_nodes):
+    return _frame_matmul(x, ids, val, n_nodes), (x, ids, val)
+
+
+def _frame_matmul_bwd(n_nodes, res, dout):
+    x, ids, val = res
+    b, k = ids.shape
+    flat_ids = jnp.minimum(ids, n_nodes - 1).reshape(-1)
+    # dx[n] = sum over entries with ids==n of val * dout[row]; run it as a
+    # sort + sorted segment-sum (scatter-free)
+    perm = jnp.argsort(flat_ids)
+    seg = flat_ids[perm]
+    rowidx = perm // k
+    contrib = (val.reshape(-1)[perm])[:, None] * dout[rowidx]
+    dx = jax.ops.segment_sum(
+        contrib, seg, num_segments=n_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+    # dval[b,k] = <x[ids[b,k]], dout[b]>
+    rows = x[jnp.minimum(ids, n_nodes - 1)]
+    dval = jnp.einsum(
+        "bkh,bh->bk", rows, dout, preferred_element_type=jnp.float32
+    ).astype(val.dtype)
+    return dx, None, dval
+
+
+_frame_matmul.defvjp(_frame_matmul_fwd, _frame_matmul_bwd)
 
 
 def cn_frames(

@@ -377,7 +377,8 @@ class Trainer:
                          jnp.zeros((nchunk, c), self.dtype)], axis=0)
                 scan_fn = (
                     self._scan_scores_hoisted
-                    if (self.frame_based and cfg.predictor not in THREE_HOP)
+                    if (cfg.hoist_frames and self.frame_based
+                        and cfg.predictor not in THREE_HOP)
                     else self._scan_scores
                 )
                 out, ema2 = scan_fn(

@@ -158,3 +158,19 @@ def test_ho_stack_gcn_encoder(tiny_ds):
     state = tr.init_state(0)
     state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
     assert np.isfinite(loss)
+
+
+def test_hoisted_frames_matches_scan(tiny_ds):
+    """hoist_frames=True scores identically to the per-chunk path in eval-free
+    training (same seeds, no sampling)."""
+    import jax
+
+    losses = []
+    for hoist in (False, True):
+        cfg = small_cfg(hoist_frames=hoist, gnndp=0.0, predp=0.0, xdp=0.0,
+                        tdp=0.0, linkbatchsize=32)
+        tr = Trainer(cfg, tiny_ds)
+        state = tr.init_state(0)
+        state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+        losses.append(loss)
+    assert abs(losses[0] - losses[1]) < 1e-3, losses

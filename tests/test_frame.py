@@ -160,3 +160,27 @@ def test_orthogonalize_matches_dense_reference(rng):
     # eval: stored EMA reused, state unchanged
     _, _, ema2, n2 = ortho.orthogonalize(cn1, cn2, ema, n, training=False)
     assert float(ema2) == float(ema) and int(n2) == 1
+
+
+def test_frame_matmul_custom_vjp_grads(rng):
+    """The sorted-segment backward must match autodiff of the naive einsum."""
+    import jax
+
+    n, b, k, h = 50, 7, 5, 8
+    ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)  # incl sentinel
+    val = jnp.asarray(rng.random((b, k)).astype(np.float32))
+    val = jnp.where(ids == n, 0.0, val)
+    x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    cn = CNFrame(ids, val, n)
+
+    def naive(xx, vv):
+        rows = xx[jnp.minimum(ids, n - 1)]
+        return jnp.sum(jnp.einsum("bk,bkh->bh", vv, rows) ** 2)
+
+    def ours(xx, vv):
+        return jnp.sum(CNFrame(ids, vv, n).matmul(xx) ** 2)
+
+    gx0, gv0 = jax.grad(naive, argnums=(0, 1))(x, val)
+    gx1, gv1 = jax.grad(ours, argnums=(0, 1))(x, val)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv0), np.asarray(gv1), rtol=1e-4, atol=1e-5)
