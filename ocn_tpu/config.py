@@ -87,6 +87,10 @@ class Config:
                                      # much slower XLA compile at batch 65536)
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     cn2_counts: bool = False         # True => pygho-stack path-count values
+    neg_mode: str = "uniform"        # "uniform": PyG negative_sampling non-
+                                     # edges; "randint_target": keep sources,
+                                     # uniform targets (citation2 driver,
+                                     # NeighborOverlapCitation2.py:181-182)
     exact_two_hop: bool = False      # SPD.py exactly-distance-2 semantics
     dtype: str = "float32"           # "bfloat16" for MXU-friendly training
     platform: str = ""               # "" = default backend; "cpu" forces CPU
@@ -154,7 +158,7 @@ _PRESETS = {
         mplayers=3, gnndp=0.3, model="puregcn", maskinput=True,
         batch_size=32768, linkbatchsize=2048, testbs=8192, gnnlr=0.001,
         prelr=0.001, predp=0.3, preedp=0.3, encoder_stack="ho",
-        cn2_counts=True,
+        cn2_counts=True, neg_mode="randint_target",
     ),
     # README.md:59 — ddi OCN (the README's `--alpha 7.18--probscale` typo is
     # resolved as alpha=7.18, probscale left default; SURVEY.md §5 defects)
@@ -185,6 +189,7 @@ _PRESETS = {
         batch_size=32768, linkbatchsize=2048, testbs=8192, gnnlr=0.001,
         prelr=0.001, predp=0.3, preedp=0.3, encoder_stack="ho",
         cn2_counts=True, exact_two_hop=True, two_hop_mode="sddmm",
+        neg_mode="randint_target",
     ),
     # PLNLP.py equivalent: collab with a ranking loss (PLNLP.py:155-191)
     ("collab", "plnlp"): dict(

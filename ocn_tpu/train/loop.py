@@ -436,7 +436,12 @@ class Trainer:
         pos = self.train_edges  # (2, E)
         e = pos.shape[1]
         perm = rng.permutation(e)
-        neg = B.negative_sampling(self.ds.edge_index, self.ds.n_nodes, e, rng)
+        if cfg.neg_mode == "randint_target":
+            # citation2 driver: negatives keep the positive sources, targets
+            # are uniform node ids (NeighborOverlapCitation2.py:181-182)
+            neg = np.stack([pos[0], rng.integers(0, self.ds.n_nodes, size=e)])
+        else:
+            neg = B.negative_sampling(self.ds.edge_index, self.ds.n_nodes, e, rng)
         if cfg.increasealpha and self.sched_has_alpha(state):
             # reference ramp max(0, min((epoch-5)*0.1, 1)) (NeighborOverlap_large.py:310)
             a = max(0.0, min((epoch - 5) * 0.1, 1.0))
