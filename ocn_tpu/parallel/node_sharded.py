@@ -1,0 +1,110 @@
+"""Node-sharded SpMM — the building block for graphs beyond one chip's HBM.
+
+BASELINE.json's north star: edge-partitioned adjacency across hosts, boundary
+node features exchanged over ICI and overlapped with local aggregation.  This
+module implements the first rung of that ladder with `shard_map`:
+
+* node features `x` are sharded over mesh axis "dp" (contiguous node ranges);
+* the adjacency is partitioned by DESTINATION row, each device holding the
+  CSR slice of its node range (host-side `partition_graph`);
+* each device `all_gather`s the source features and runs its local
+  segment-sum SpMM over its row range.
+
+The all-gather ships the full feature matrix (the dense-exchange baseline).
+The documented next rung replaces it with boundary-only exchange: each
+partition's off-range source ids are already counted here
+(`boundary_counts`), so features for just those sets can be moved with
+`all_to_all`/`ppermute` and the interior SpMM overlapped with the transfer
+(pallas_guide.md ring patterns).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ocn_tpu.sparse.csr import Graph
+
+
+@dataclasses.dataclass
+class GraphPartition:
+    """Per-device CSR slice: rows [offset, offset+rows_per), arrays padded to
+    a common nnz length so the stacked (ndev, m) arrays are rectangular;
+    pad entries carry val == 0."""
+
+    row_offsets: np.ndarray      # (ndev,)
+    rows_per: int
+    col: np.ndarray              # (ndev, m) int32 global source ids
+    local_row: np.ndarray        # (ndev, m) int32 row - offset
+    val: np.ndarray              # (ndev, m) float32
+    boundary_counts: np.ndarray  # (ndev,) distinct off-partition sources
+
+
+def partition_graph(g: Graph, ndev: int) -> GraphPartition:
+    ip = np.asarray(g.indptr)
+    true_nnz = int(ip[-1])
+    col = np.asarray(g.col)[:true_nnz]
+    row = np.asarray(g.row)[:true_nnz]
+    val = np.asarray(g.val)[:true_nnz]
+    n = g.n_nodes
+    rows_per = -(-n // ndev)
+    cols, lrows, vals, offs, bnd = [], [], [], [], []
+    for d in range(ndev):
+        r0, r1 = d * rows_per, min((d + 1) * rows_per, n)
+        lo, hi = ip[r0], ip[min(r1, n)]
+        cols.append(col[lo:hi])
+        lrows.append((row[lo:hi] - r0).astype(np.int32))
+        vals.append(val[lo:hi])
+        offs.append(r0)
+        src = np.unique(col[lo:hi])
+        bnd.append(int(((src < r0) | (src >= r1)).sum()))
+    m = max(len(c) for c in cols) if cols else 1
+
+    def pad(arrs, fill, dtype):
+        return np.stack([
+            np.concatenate([a, np.full(m - len(a), fill, dtype)]).astype(dtype)
+            for a in arrs
+        ])
+
+    return GraphPartition(
+        row_offsets=np.asarray(offs, np.int32),
+        rows_per=rows_per,
+        col=pad(cols, 0, np.int32),
+        local_row=pad(lrows, rows_per - 1, np.int32),
+        val=pad(vals, 0.0, np.float32),
+        boundary_counts=np.asarray(bnd, np.int64),
+    )
+
+
+def make_node_sharded_spmm(mesh: Mesh, part: GraphPartition):
+    """Returns (spmm_fn, padded_rows): spmm_fn(x) with x of shape
+    (ndev*rows_per, H) sharded P("dp", None) returns the aggregated features
+    with the same sharding."""
+    rows_per = part.rows_per
+    ndev = part.col.shape[0]
+    colj = jnp.asarray(part.col)
+    lrowj = jnp.asarray(part.local_row)
+    valj = jnp.asarray(part.val)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp", None), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    def spmm(x_local, cols, lrows, vals):
+        # dense-exchange baseline: gather every shard's features over ICI,
+        # then local destination-row aggregation
+        x_full = jnp.concatenate(jax.lax.all_gather(x_local, "dp"), axis=0)
+        msg = vals[0][:, None].astype(x_local.dtype) * x_full[cols[0]]
+        return jax.ops.segment_sum(msg, lrows[0], num_segments=rows_per)
+
+    def apply(x):
+        return spmm(x, colj, lrowj, valj)
+
+    return apply, rows_per * ndev
