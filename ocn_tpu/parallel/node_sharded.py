@@ -108,3 +108,54 @@ def make_node_sharded_spmm(mesh: Mesh, part: GraphPartition):
         return spmm(x, colj, lrowj, valj)
 
     return apply, rows_per * ndev
+
+
+def make_ring_spmm(mesh: Mesh, part: GraphPartition):
+    """Ring-exchange node-sharded SpMM: feature shards rotate around the
+    "dp" ring with `ppermute`; each step every device accumulates the
+    contributions whose sources live in the shard it currently holds.  Peak
+    memory is O(local shard) instead of O(full x), and XLA can overlap each
+    step's transfer with the previous step's aggregation — the
+    collective/compute-overlap shape of the BASELINE.json north star
+    (pallas_guide.md ring-collective pattern at the XLA level; the Pallas
+    RDMA version is the further step)."""
+    rows_per = part.rows_per
+    ndev = part.col.shape[0]
+    colj = jnp.asarray(part.col)
+    lrowj = jnp.asarray(part.local_row)
+    valj = jnp.asarray(part.val)
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp", None), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    def spmm(x_local, cols, lrows, vals):
+        me = jax.lax.axis_index("dp")
+        cols0, lrows0, vals0 = cols[0], lrows[0], vals[0]
+
+        def body(s, carry):
+            buf, acc = carry
+            src_dev = (me - s) % ndev  # owner of the shard we hold this step
+            r0 = src_dev * rows_per
+            in_range = (cols0 >= r0) & (cols0 < r0 + rows_per)
+            li = jnp.clip(cols0 - r0, 0, rows_per - 1)
+            msg = jnp.where(in_range, vals0, 0.0)[:, None].astype(
+                x_local.dtype) * buf[li]
+            acc = acc + jax.ops.segment_sum(msg, lrows0, num_segments=rows_per)
+            buf = jax.lax.ppermute(buf, "dp", perm)
+            return buf, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, ndev, body,
+            (x_local, jnp.zeros((rows_per, x_local.shape[-1]), x_local.dtype)),
+        )
+        return acc
+
+    def apply(x):
+        return spmm(x, colj, lrowj, valj)
+
+    return apply, rows_per * ndev

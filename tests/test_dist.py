@@ -113,3 +113,25 @@ def test_node_sharded_spmm_matches_dense():
     xs = jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P("dp", None)))
     out = np.asarray(spmm_fn(xs))[: g.n_nodes]
     np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_ring_spmm_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ocn_tpu.parallel.mesh import make_mesh
+    from ocn_tpu.parallel.node_sharded import make_ring_spmm, partition_graph
+    from tests.test_frame import random_graph
+
+    rng = np.random.default_rng(1)
+    g, dense = random_graph(rng, n=60, p=0.15)
+    mesh = make_mesh(dp=4, tp=1)
+    part = partition_graph(g, 4)
+    spmm_fn, pad_rows = make_ring_spmm(mesh, part)
+    x = rng.standard_normal((g.n_nodes, 8)).astype(np.float32)
+    xp = np.zeros((pad_rows, 8), np.float32)
+    xp[: g.n_nodes] = x
+    xs = jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P("dp", None)))
+    out = np.asarray(spmm_fn(xs))[: g.n_nodes]
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
