@@ -86,9 +86,12 @@ class OCN3HopPredictor(nn.Module):
             ema.value = ema_v
             nvar.value = n_v
 
-        xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(ncn1.matmul(x), det)
-        xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(ocn2.matmul(x), det)
-        xcn3 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(ocn3.matmul(x), det)
+        from ocn_tpu.ops.frame import matmul_shared
+
+        a1, a2, a3 = matmul_shared([ncn1, ocn2, ocn3], x)
+        xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a1, det)
+        xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a2, det)
+        xcn3 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a3, det)
         xij = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)(
             x[tar_ei[0]] * x[tar_ei[1]], det
         )

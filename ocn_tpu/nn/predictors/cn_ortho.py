@@ -73,8 +73,10 @@ class OCNPredictor(nn.Module):
             ema.value = new_ema
             nvar.value = new_n
 
-        xcn1 = ncn1.matmul(x)
-        xcn2 = ocn2.matmul(x)
+        # one shared gather for both aggregates (frames share ids)
+        from ocn_tpu.ops.frame import matmul_shared
+
+        xcn1, xcn2 = matmul_shared([ncn1, ocn2], x)
         xij = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)(
             x[tar_ei[0]] * x[tar_ei[1]], det
         )

@@ -100,8 +100,11 @@ class OCNPPredictor(nn.Module):
         c1 = apply_basis(c1, chebyshev_basis(g.n_nodes, self.poly_first))
         c2 = apply_basis(c2, chebyshev_basis(g.n_nodes, self.poly_second))
 
-        xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(c1.matmul(x), det)
-        xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(c2.matmul(x), det)
+        from ocn_tpu.ops.frame import matmul_shared
+
+        a1, a2 = matmul_shared([c1, c2], x)  # shared-gather aggregates
+        xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a1, det)
+        xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a2, det)
         xij = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)(
             x[tar_ei[0]] * x[tar_ei[1]], det
         )

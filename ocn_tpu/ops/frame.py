@@ -312,6 +312,56 @@ def _frame_matmul_bwd(n_nodes, res, dout):
 _frame_matmul.defvjp(_frame_matmul_fwd, _frame_matmul_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _frame_matmul_multi(x, ids, vals, n_nodes):
+    """P aggregates over ONE row gather: frames sharing an id array (cn1/cn2
+    of the same batch, the orthogonalized pair, cn6's triple) each pay the
+    (B, K, H) gather once instead of per-matmul — the gather is the measured
+    bottleneck (BENCH_NOTES.md: ~31 GB/s bound).
+
+    vals: (P, B, K) stacked value arrays -> returns (P, B, H).
+    """
+    rows = x[jnp.minimum(ids, n_nodes - 1)]  # (B, K, H) — single gather
+    return jnp.einsum(
+        "pbk,bkh->pbh", vals, rows, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _frame_matmul_multi_fwd(x, ids, vals, n_nodes):
+    return _frame_matmul_multi(x, ids, vals, n_nodes), (x, ids, vals)
+
+
+def _frame_matmul_multi_bwd(n_nodes, res, dout):
+    x, ids, vals = res
+    b, k = ids.shape
+    flat_ids = jnp.minimum(ids, n_nodes - 1).reshape(-1)
+    perm = jnp.argsort(flat_ids)
+    seg = flat_ids[perm]
+    rowidx = perm // k
+    # combined contribution of every plane through the shared gather
+    coef = jnp.einsum("pbk,pbh->bkh", vals, dout.astype(jnp.float32))
+    contrib = coef.reshape(b * k, -1)[perm]
+    dx = jax.ops.segment_sum(
+        contrib, seg, num_segments=n_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+    rows = x[jnp.minimum(ids, n_nodes - 1)]
+    dvals = jnp.einsum(
+        "bkh,pbh->pbk", rows, dout, preferred_element_type=jnp.float32
+    ).astype(vals.dtype)
+    return dx, None, dvals
+
+
+_frame_matmul_multi.defvjp(_frame_matmul_multi_fwd, _frame_matmul_multi_bwd)
+
+
+def matmul_shared(frames: "list[CNFrame]", x: jax.Array) -> "list[jax.Array]":
+    """cn @ x for several frames sharing one id array, one gather total."""
+    ids = frames[0].ids
+    vals = jnp.stack([f.val for f in frames])
+    out = _frame_matmul_multi(x, ids, vals, frames[0].n_nodes)
+    return [out[i] for i in range(len(frames))]
+
+
 def cn_frames(
     g: Graph,
     tar_ei: jax.Array,

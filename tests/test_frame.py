@@ -184,3 +184,34 @@ def test_frame_matmul_custom_vjp_grads(rng):
     gx1, gv1 = jax.grad(ours, argnums=(0, 1))(x, val)
     np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gv0), np.asarray(gv1), rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_shared_matches_individual(rng):
+    import jax
+
+    from ocn_tpu.ops.frame import matmul_shared
+
+    n, b, k, h = 40, 6, 4, 8
+    ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
+    v1 = jnp.where(ids == n, 0.0, jnp.asarray(rng.random((b, k)), jnp.float32))
+    v2 = jnp.where(ids == n, 0.0, jnp.asarray(rng.random((b, k)), jnp.float32))
+    x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    f1, f2 = CNFrame(ids, v1, n), CNFrame(ids, v2, n)
+    a1, a2 = matmul_shared([f1, f2], x)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(f1.matmul(x)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(f2.matmul(x)), rtol=1e-5)
+
+    # gradient parity vs separate matmuls
+    def shared_loss(xx, w1, w2):
+        o1, o2 = matmul_shared([CNFrame(ids, w1, n), CNFrame(ids, w2, n)], xx)
+        return jnp.sum(o1 ** 2) + jnp.sum(o2 * 3.0)
+
+    def sep_loss(xx, w1, w2):
+        o1 = CNFrame(ids, w1, n).matmul(xx)
+        o2 = CNFrame(ids, w2, n).matmul(xx)
+        return jnp.sum(o1 ** 2) + jnp.sum(o2 * 3.0)
+
+    g0 = jax.grad(shared_loss, argnums=(0, 1, 2))(x, v1, v2)
+    g1 = jax.grad(sep_loss, argnums=(0, 1, 2))(x, v1, v2)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
