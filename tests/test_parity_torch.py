@@ -202,3 +202,35 @@ def test_encoder_puregcn_parity(rng):
         conv = nt * (dn @ xn + xn)
         ht = conv + ht  # residual (dims match)
     np.testing.assert_allclose(got, ht.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_loss_catalog_matches_torch_formulas(rng):
+    """Every PLNLP loss equals its torch re-derivation (PLNLP.py:28-86)."""
+    import jax.numpy as jnp
+
+    from ocn_tpu.train import losses as L
+
+    pos = rng.standard_normal(12).astype(np.float32)
+    neg = rng.standard_normal(12).astype(np.float32)
+    pt, nt = torch.tensor(pos).reshape(-1, 1), torch.tensor(neg).reshape(-1, 1)
+    want = {
+        "auc_loss": torch.square(1 - (pt - nt)).sum(),
+        "hinge_auc_loss": torch.square(torch.clamp(1 - (pt - nt), min=0)).sum(),
+        "weighted_auc_loss": (2.0 * torch.square(1 - (pt - nt))).sum(),
+        "adaptive_auc_loss": torch.square(0.5 - (pt - nt)).sum(),
+        "weighted_hinge_auc_loss": (2.0 * torch.square(
+            torch.clamp(2.0 - (pt - nt), min=0))).sum(),
+        "adaptive_hinge_auc_loss": torch.square(
+            torch.clamp(2.0 - (pt - nt), min=0)).sum(),
+        "log_rank_loss": -torch.log(torch.sigmoid(pt - nt) + 1e-15).mean(),
+        "ce_loss": (-torch.log(torch.sigmoid(pt) + 1e-15).mean()
+                    - torch.log(1 - torch.sigmoid(nt) + 1e-15).mean()),
+        "info_nce_loss": -torch.log(
+            torch.exp(pt) / (torch.exp(pt) + torch.exp(nt)) + 1e-15).mean(),
+        "simple": (-torch.nn.functional.logsigmoid(pt).mean()
+                   - torch.nn.functional.logsigmoid(-nt).mean()),
+    }
+    jp, jn = jnp.asarray(pos), jnp.asarray(neg)
+    for name, w in want.items():
+        got = float(L.LOSSES[name](jp, jn, num_neg=1, weight=2.0, margin=0.5))
+        np.testing.assert_allclose(got, float(w), rtol=1e-5, err_msg=name)
