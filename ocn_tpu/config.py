@@ -85,6 +85,11 @@ class Config:
     hoist_frames: bool = False       # build CN frames for the whole batch
                                      # outside the link scan (faster steps,
                                      # much slower XLA compile at batch 65536)
+    frame_group: int = 1             # link chunks whose frames are built in
+                                     # one vectorized shot per scan step
+                                     # (predictor + column norms stay
+                                     # per-chunk); bounded-compile middle
+                                     # ground between per-chunk and hoisted
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     cn2_counts: bool = False         # True => pygho-stack path-count values
     neg_mode: str = "uniform"        # "uniform": PyG negative_sampling non-

@@ -264,6 +264,64 @@ class Trainer:
         (ema_f, _), outs = jax.lax.scan(body, (ema, 0), (edges, valid, corrs))
         return outs.reshape(-1), ema_f
 
+    def _scan_scores_grouped(self, params, ema, sched, h, g, edges, valid, key,
+                             training, adj2, corrs):
+        """Middle ground between the per-chunk scan and full hoisting: each
+        scan step builds CN frames for `frame_group` chunks in one vectorized
+        shot, then applies the predictor per chunk (column-normalization
+        granularity preserved).  Compile cost grows with the group, not the
+        batch."""
+        cfg = self.cfg
+        grp = cfg.frame_group
+        nchunk, _, c = edges.shape
+        ngroup = nchunk // grp
+        gc = grp * c
+        edges_g = edges.transpose(1, 0, 2).reshape(2, ngroup, gc).transpose(1, 0, 2)
+        valid_g = valid.reshape(ngroup, gc)
+        corrs_g = None if corrs is None else corrs.reshape(ngroup, gc)
+        if corrs_g is None:
+            corrs_g = jnp.zeros_like(valid_g)
+
+        from ocn_tpu.ops.frame import CNFrame
+
+        def body(carry, inp):
+            ema_c, i = carry
+            e, v, cr = inp
+            frame_key = jax.random.fold_in(key, i) if training else None
+            cn1, cn2 = cn_frames(
+                g, e, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
+                cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
+                adj2=adj2, self_corr=cr,
+            )
+            if cfg.cndeg > 0:
+                from ocn_tpu.ops.sample import sample_frame
+
+                cn1 = sample_frame(cn1, cfg.cndeg, frame_key)
+                cn2 = sample_frame(cn2, cfg.cndeg, frame_key)
+            cn1 = cn1.with_values(cn1.val * v[:, None])
+            cn2 = cn2.with_values(cn2.val * v[:, None])
+            outs = []
+            for j in range(grp):
+                sl = slice(j * c, (j + 1) * c)
+                rngs = {}
+                if training:
+                    rngs = {"dropout": jax.random.fold_in(key, i * grp + j + 1)}
+                variables = {"params": params["predictor"], "ema": ema_c,
+                             "sched": sched}
+                out, upd = self.predictor.apply(
+                    variables, h, g,
+                    CNFrame(cn1.ids[sl], cn1.val[sl], g.n_nodes),
+                    CNFrame(cn2.ids[sl], cn2.val[sl], g.n_nodes),
+                    e[:, sl], training, rngs=rngs, mutable=["ema"],
+                )
+                ema_c = upd.get("ema", ema_c)
+                outs.append(out.reshape(-1))
+            return (ema_c, i + 1), jnp.concatenate(outs)
+
+        (ema_f, _), outs = jax.lax.scan(
+            body, (ema, 0), (edges_g, valid_g, corrs_g))
+        return outs.reshape(-1), ema_f
+
     def _scan_scores_hoisted(self, params, ema, sched, h, g, edges, valid, key,
                              training, adj2, corrs):
         """Frame-based fast path: extract CN frames for the WHOLE batch in one
@@ -375,12 +433,15 @@ class Trainer:
                     corrs = jnp.concatenate(
                         [jnp.ones((nchunk, c), self.dtype),
                          jnp.zeros((nchunk, c), self.dtype)], axis=0)
-                scan_fn = (
-                    self._scan_scores_hoisted
-                    if (cfg.hoist_frames and self.frame_based
-                        and cfg.predictor not in THREE_HOP)
-                    else self._scan_scores
+                plain_frame = (
+                    self.frame_based and cfg.predictor not in THREE_HOP
                 )
+                if cfg.hoist_frames and plain_frame:
+                    scan_fn = self._scan_scores_hoisted
+                elif cfg.frame_group > 1 and plain_frame:
+                    scan_fn = self._scan_scores_grouped
+                else:
+                    scan_fn = self._scan_scores
                 out, ema2 = scan_fn(
                     params, ema, state.sched, h, g, allc, validc, k_lnk, True,
                     adj2=self.adj2, corrs=corrs)

@@ -209,3 +209,16 @@ def test_cn5_learns_structured_graph():
     # chance level for Hits@50 with ~|neg| ≈ |pos| ≈ 700 is ~0.07; structured
     # CN signal should push far above it
     assert hits50_valid > 0.30, res
+
+
+def test_grouped_frames_matches_scan(tiny_ds):
+    losses = []
+    for group in (1, 2):
+        # pad_deg >= max degree so no window sampling -> key streams moot
+        cfg = small_cfg(frame_group=group, gnndp=0.0, predp=0.0, xdp=0.0,
+                        tdp=0.0, linkbatchsize=32, pad_deg=32, pad_deg2=32)
+        tr = Trainer(cfg, tiny_ds)
+        state = tr.init_state(0)
+        state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+        losses.append(loss)
+    assert abs(losses[0] - losses[1]) < 1e-3, losses
