@@ -35,6 +35,7 @@ def main():
     steps = int(os.environ.get("OCN_BENCH_STEPS", "10"))
     chunk = int(os.environ.get("OCN_BENCH_CHUNK", "4096"))
     hoist = os.environ.get("OCN_BENCH_HOIST", "0") == "1"
+    group = int(os.environ.get("OCN_BENCH_GROUP", "4"))
 
     cfg = Config(
         dataset="collab", predictor="cn5", model="gcn", mplayers=3,
@@ -42,6 +43,7 @@ def main():
         ln=True, res=True, jk=True, use_xlin=True, tailact=True,
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
+        frame_group=group,
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
     )
     ds = synthetic_dataset("collab", seed=0, scale=scale)
