@@ -541,20 +541,3 @@ def cn_residual_frames(
     res2 = CNFrame(dst.ids, jnp.where(in_src == 0, dst.w, 0.0), g.n_nodes)
     return cn, res1, res2
 
-
-def concat_frames(a: CNFrame, b: CNFrame) -> CNFrame:
-    """Union of two frames with disjoint patterns (lane concatenation)."""
-    return CNFrame(
-        ids=jnp.concatenate([a.ids, b.ids], axis=-1),
-        val=jnp.concatenate([a.val, b.val], axis=-1),
-        n_nodes=a.n_nodes,
-    )
-
-
-def embed_left(a: CNFrame, b: CNFrame) -> CNFrame:
-    """Frame holding a's values on the concat(a, b) lane layout."""
-    return CNFrame(
-        ids=jnp.concatenate([a.ids, b.ids], axis=-1),
-        val=jnp.concatenate([a.val, jnp.zeros_like(b.val)], axis=-1),
-        n_nodes=a.n_nodes,
-    )
