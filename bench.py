@@ -47,6 +47,9 @@ def main():
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
     )
     ds = synthetic_dataset("collab", seed=0, scale=scale)
+    if os.environ.get("OCN_BENCH_REORDER", "bfs") == "bfs":
+        # BFS node relabeling clusters neighbor gathers (BENCH_NOTES.md)
+        ds = ds.reorder_bfs()
     tr = Trainer(cfg, ds)
     state = tr.init_state(0)
 

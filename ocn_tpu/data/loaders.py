@@ -63,6 +63,61 @@ class LinkDataset:
     def num_features(self) -> int:
         return 0 if self.x.ndim == 1 else self.x.shape[1]
 
+    def reorder_bfs(self) -> "LinkDataset":
+        """Relabel nodes in BFS order from the highest-degree node.
+
+        Neighbor gathers are the TPU step's measured bandwidth bound
+        (BENCH_NOTES.md); BFS relabeling clusters each node's neighbors into
+        nearby ids so the gathered x rows hit adjacent HBM regions.  Purely
+        internal: edges, features and every split array are remapped
+        consistently, so scores/metrics are unchanged in distribution.
+        """
+        n = self.n_nodes
+        indptr, col = B.csr_from_edge_index(self.edge_index, n)
+        order = np.full(n, -1, np.int64)  # order[new] = old
+        pos = np.full(n, -1, np.int64)    # pos[old] = new
+        deg = indptr[1:] - indptr[:-1]
+        nxt = 0
+        # BFS from highest-degree seeds until all nodes placed
+        for seed in np.argsort(-deg):
+            if pos[seed] >= 0:
+                continue
+            queue = [int(seed)]
+            pos[seed] = nxt
+            order[nxt] = seed
+            nxt += 1
+            qi = 0
+            while qi < len(queue):
+                u = queue[qi]
+                qi += 1
+                for v in col[indptr[u] : indptr[u + 1]]:
+                    if pos[v] < 0:
+                        pos[v] = nxt
+                        order[nxt] = v
+                        nxt += 1
+                        queue.append(int(v))
+        remap = pos
+
+        def m_edges(e):
+            return remap[np.asarray(e, np.int64)]
+
+        split = {}
+        for part, d in self.split_edge.items():
+            split[part] = {}
+            for key, arr in d.items():
+                split[part][key] = m_edges(arr) if "edge" in key or "node" in key else arr
+        x = self.x[order]
+        return dataclasses.replace(
+            self,
+            x=x,
+            edge_index=m_edges(self.edge_index),
+            split_edge=split,
+            full_edge_index=(
+                m_edges(self.full_edge_index)
+                if self.full_edge_index is not None else None
+            ),
+        )
+
 
 def randomsplit(
     edge_index: np.ndarray,

@@ -222,3 +222,22 @@ def test_grouped_frames_matches_scan(tiny_ds):
         state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
         losses.append(loss)
     assert abs(losses[0] - losses[1]) < 1e-3, losses
+
+
+def test_bfs_reorder_preserves_training(tiny_ds):
+    ds2 = tiny_ds.reorder_bfs()
+    assert ds2.n_nodes == tiny_ds.n_nodes
+    assert ds2.edge_index.shape == tiny_ds.edge_index.shape
+    # degree multiset preserved
+    import collections
+    n = tiny_ds.n_nodes
+    d1 = collections.Counter(np.bincount(tiny_ds.edge_index[0], minlength=n).tolist())
+    d2 = collections.Counter(np.bincount(ds2.edge_index[0], minlength=n).tolist())
+    assert d1 == d2
+    cfg = small_cfg()
+    tr = Trainer(cfg, ds2)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
+    res = tr.evaluate(state)
+    assert 0.0 <= res["Hits@100"][1] <= 1.0
