@@ -84,12 +84,16 @@ def run(cfg: Config) -> dict:
     ds = loaddataset(cfg.dataset, cfg.use_valedges_as_input, cfg.load,
                      root=cfg.data_root, seed=cfg.seed,
                      synthetic_scale=cfg.synthetic_scale)
+    if cfg.reorder == "bfs":
+        ds = ds.reorder_bfs()
     ret = []
     for run_i in range(cfg.runs):
         if planetoid:  # fresh random split per run (reference :284-286)
             ds = loaddataset(cfg.dataset, cfg.use_valedges_as_input, cfg.load,
                              root=cfg.data_root, seed=cfg.seed + run_i,
                              synthetic_scale=cfg.synthetic_scale)
+            if cfg.reorder == "bfs":
+                ds = ds.reorder_bfs()
         tr = Trainer(cfg, ds)
         state = tr.init_state(cfg.seed + run_i)
         if cfg.loadmod and cfg.checkpoint_dir:

@@ -97,6 +97,9 @@ class Config:
                                      # uniform targets (citation2 driver,
                                      # NeighborOverlapCitation2.py:181-182)
     exact_two_hop: bool = False      # SPD.py exactly-distance-2 semantics
+    reorder: str = "bfs"             # node relabeling for gather locality:
+                                     # "bfs" (+9% measured on chip) | "none";
+                                     # metrics are relabel-invariant
     dtype: str = "float32"           # "bfloat16" for MXU-friendly training
     platform: str = ""               # "" = default backend; "cpu" forces CPU
     seed: int = 0

@@ -74,29 +74,36 @@ class LinkDataset:
         """
         n = self.n_nodes
         indptr, col = B.csr_from_edge_index(self.edge_index, n)
-        order = np.full(n, -1, np.int64)  # order[new] = old
-        pos = np.full(n, -1, np.int64)    # pos[old] = new
+        indptr = np.asarray(indptr, np.int64)
+        col = np.asarray(col, np.int64)
         deg = indptr[1:] - indptr[:-1]
-        nxt = 0
-        # BFS from highest-degree seeds until all nodes placed
+        visited = np.zeros(n, bool)
+        order_parts = []
+        # level-synchronous vectorized BFS from highest-degree seeds (order
+        # within a level is by node id — the locality property only needs the
+        # level layering)
         for seed in np.argsort(-deg):
-            if pos[seed] >= 0:
+            if visited[seed]:
                 continue
-            queue = [int(seed)]
-            pos[seed] = nxt
-            order[nxt] = seed
-            nxt += 1
-            qi = 0
-            while qi < len(queue):
-                u = queue[qi]
-                qi += 1
-                for v in col[indptr[u] : indptr[u + 1]]:
-                    if pos[v] < 0:
-                        pos[v] = nxt
-                        order[nxt] = v
-                        nxt += 1
-                        queue.append(int(v))
-        remap = pos
+            frontier = np.asarray([seed], np.int64)
+            visited[seed] = True
+            while frontier.size:
+                order_parts.append(frontier)
+                starts, counts = indptr[frontier], deg[frontier]
+                total = int(counts.sum())
+                if total == 0:
+                    break
+                # vectorized multi-slice: positions of all frontier edges
+                offs = np.repeat(starts + counts, counts)
+                idx = np.arange(total) + offs - np.repeat(
+                    np.cumsum(counts), counts)
+                nbrs = np.unique(col[idx])
+                nbrs = nbrs[~visited[nbrs]]
+                visited[nbrs] = True
+                frontier = nbrs
+        order = np.concatenate(order_parts) if order_parts else np.arange(n)
+        remap = np.empty(n, np.int64)
+        remap[order] = np.arange(n)
 
         def m_edges(e):
             return remap[np.asarray(e, np.int64)]
