@@ -100,6 +100,10 @@ class Config:
     reorder: str = "bfs"             # node relabeling for gather locality:
                                      # "bfs" (+9% measured on chip) | "none";
                                      # metrics are relabel-invariant
+    sort_batch: bool = True          # sort each training batch by source id
+                                     # (one permutation applied to pos AND neg,
+                                     # so ranking-loss pairing is preserved);
+                                     # clusters the chunk's neighbor gathers
     dtype: str = "float32"           # "bfloat16" for MXU-friendly training
     platform: str = ""               # "" = default backend; "cpu" forces CPU
     seed: int = 0

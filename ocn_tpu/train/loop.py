@@ -514,6 +514,10 @@ class Trainer:
         # train-mode PermIterator drops the ragged tail (utils.py:20-30)
         for i, start in enumerate(range(0, e - bs + 1, bs)):
             idx = perm[start : start + bs]
+            if cfg.sort_batch:
+                # cluster the batch's neighbor gathers by source id; pos/neg
+                # share the permutation so per-index loss pairing survives
+                idx = idx[np.argsort(pos[0, idx], kind="stable")]
             pe = jnp.asarray(pos[:, idx])
             ne = jnp.asarray(neg[:, idx])
             mask_positions = None
