@@ -66,7 +66,6 @@ def main():
     key = jax.random.PRNGKey(0)
     # warmup / compile
     idx = perm[:batch]
-    idx = idx[np.argsort(pos[0, idx], kind="stable")]  # sort_batch locality
     pe, ne = jnp.asarray(pos[:, idx]), jnp.asarray(neg[:, idx])
     mp = None
     if tr.edge2pos is not None:
@@ -80,7 +79,6 @@ def main():
         idx = perm[(i % max(1, len(perm) // batch)) * batch :][:batch]
         if len(idx) < batch:
             idx = perm[:batch]
-        idx = idx[np.argsort(pos[0, idx], kind="stable")]
         pe, ne = jnp.asarray(pos[:, idx]), jnp.asarray(neg[:, idx])
         if tr.edge2pos is not None:
             mp = jnp.maximum(tr.edge2pos[jnp.asarray(idx)].reshape(-1), 0)
