@@ -23,9 +23,9 @@ Adam (NeighborOverlap_large.py:306-307) via optax.multi_transform.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +34,7 @@ import optax
 from ocn_tpu.config import Config
 from ocn_tpu.data.loaders import LinkDataset
 from ocn_tpu.nn.encoder import GCNEncoder
-from ocn_tpu.nn.predictors import FRAME_BASED, SELF_BUILDING, THREE_HOP, build_predictor
+from ocn_tpu.nn.predictors import FRAME_BASED, THREE_HOP, build_predictor
 from ocn_tpu.ops.frame import cn_frames
 from ocn_tpu.sparse import build as B
 from ocn_tpu.sparse.csr import Graph
@@ -48,9 +48,6 @@ def _largest_divisor_leq(n: int, target: int) -> int:
         if n % c == 0:
             return c
     return 1
-
-
-import flax.struct
 
 
 @flax.struct.dataclass
