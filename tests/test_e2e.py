@@ -241,3 +241,40 @@ def test_bfs_reorder_preserves_training(tiny_ds):
     assert np.isfinite(loss)
     res = tr.evaluate(state)
     assert 0.0 <= res["Hits@100"][1] <= 1.0
+
+
+def test_use_valedges_eval_path(tiny_ds):
+    """use_valedges_as_input: test-split scoring re-encodes with the train+valid
+    graph and gathers from its own A^2 (reference NeighborOverlap_large.py:143-145)."""
+    import dataclasses as dc
+
+    from ocn_tpu.sparse import build as Bb
+
+    val_ei = tiny_ds.split_edge["valid"]["edge"].T
+    full = np.concatenate([tiny_ds.edge_index, val_ei], axis=1)
+    ds = dc.replace(
+        tiny_ds,
+        full_edge_index=Bb.symmetrize_edge_index(full, tiny_ds.n_nodes),
+    )
+    cfg = small_cfg(use_valedges_as_input=True)
+    tr = Trainer(cfg, ds)
+    assert tr.full_adj2 is not tr.adj2  # distinct A^2 for the full graph
+    state = tr.init_state(0)
+    state, _ = tr.train_epoch(state, np.random.default_rng(0), 1)
+    res = tr.evaluate(state)
+    assert 0.0 <= res["Hits@100"][2] <= 1.0
+
+
+def test_bench_config_shape_regression(tiny_ds):
+    """The exact bench configuration (gin-style encoder opts, bf16,
+    frame_group, maskinput, gather mode) trains at small scale — guards the
+    headline path against refactor breakage."""
+    cfg = small_cfg(
+        model="gcn", mplayers=3, hiddim=64, ln=True, res=True, jk=True,
+        use_xlin=True, tailact=True, dtype="bfloat16", frame_group=2,
+        linkbatchsize=32, batch_size=128, maskinput=True,
+    )
+    tr = Trainer(cfg, tiny_ds)
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert np.isfinite(loss)
