@@ -180,6 +180,94 @@ void gc_adj2_csr(const int32_t* indptr, const int32_t* col, int64_t n_nodes,
   if (out_col != nullptr) row_pass(/*emit=*/true);
 }
 
+// ---------------------------------------------------------------------------
+// General row-capped weighted SpGEMM: C = A @ B in CSR.
+//
+// val_a / val_b may be nullptr (treated as all-ones).  Rows longer than `cap`
+// keep their `cap` largest-value entries (for path-count matrices the high
+// counts dominate thresholding, same rationale as gc_adj2_csr).  Used for
+// A^3 = A^2 @ A — the 3-hop analogue of the reference's per-batch SpGEMM
+// (cn6 consumes adjoverlap(adj, adj3, ...), reference model.py:2447-2954) —
+// and any chained higher-order expansion.  Same two-call protocol as
+// gc_adj2_csr.
+void gc_spgemm_csr(const int32_t* ip_a, const int32_t* col_a,
+                   const float* val_a, const int32_t* ip_b,
+                   const int32_t* col_b, const float* val_b, int64_t n_nodes,
+                   int64_t cap, int32_t* out_indptr, int32_t* out_col,
+                   float* out_val) {
+  unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+  std::vector<int64_t> rowlen(n_nodes, 0);
+
+  auto row_pass = [&](bool emit) {
+    std::vector<std::thread> ts;
+    std::atomic<int64_t> next(0);
+    const int64_t kBlock = 256;
+    for (unsigned t = 0; t < nt; ++t) {
+      ts.emplace_back([&]() {
+        std::vector<float> acc(n_nodes, 0.0f);
+        std::vector<int32_t> touched;
+        touched.reserve(4096);
+        std::vector<std::pair<float, int32_t>> entries;  // (-value, col)
+        for (;;) {
+          int64_t r0 = next.fetch_add(kBlock);
+          if (r0 >= n_nodes) return;
+          int64_t r1 = std::min(r0 + kBlock, n_nodes);
+          for (int64_t j = r0; j < r1; ++j) {
+            touched.clear();
+            for (int32_t p = ip_a[j]; p < ip_a[j + 1]; ++p) {
+              int32_t m = col_a[p];
+              float wa = val_a ? val_a[p] : 1.0f;
+              if (wa == 0.0f) continue;
+              for (int32_t q = ip_b[m]; q < ip_b[m + 1]; ++q) {
+                int32_t k = col_b[q];
+                float wb = val_b ? val_b[q] : 1.0f;
+                if (wb == 0.0f) continue;
+                if (acc[k] == 0.0f) touched.push_back(k);
+                acc[k] += wa * wb;
+              }
+            }
+            int64_t len = (int64_t)touched.size();
+            bool capped = cap > 0 && len > cap;
+            if (!emit) {
+              rowlen[j] = capped ? cap : len;
+            } else {
+              int32_t* oc = out_col + out_indptr[j];
+              float* ov = out_val + out_indptr[j];
+              if (!capped) {
+                std::sort(touched.begin(), touched.end());
+                for (int64_t i = 0; i < len; ++i) {
+                  oc[i] = touched[i];
+                  ov[i] = acc[touched[i]];
+                }
+              } else {
+                entries.clear();
+                for (int32_t k : touched) entries.push_back({-acc[k], k});
+                std::nth_element(entries.begin(), entries.begin() + cap,
+                                 entries.end());
+                entries.resize(cap);
+                std::sort(entries.begin(), entries.end(),
+                          [](auto& a, auto& b) { return a.second < b.second; });
+                for (int64_t i = 0; i < cap; ++i) {
+                  oc[i] = entries[i].second;
+                  ov[i] = -entries[i].first;
+                }
+              }
+            }
+            for (int32_t k : touched) acc[k] = 0.0f;
+          }
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  };
+
+  row_pass(/*emit=*/false);
+  out_indptr[0] = 0;
+  for (int64_t j = 0; j < n_nodes; ++j)
+    out_indptr[j + 1] = out_indptr[j] + (int32_t)rowlen[j];
+  if (out_col != nullptr) row_pass(/*emit=*/true);
+}
+
 // splitmix64 — deterministic, seedable
 static inline uint64_t splitmix64(uint64_t& s) {
   uint64_t z = (s += 0x9e3779b97f4a7c15ULL);

@@ -80,6 +80,61 @@ def edge_to_nnz_positions(
     return out.astype(np.int32)
 
 
+def spgemm_csr(
+    ip_a: np.ndarray, col_a: np.ndarray, val_a, ip_b: np.ndarray,
+    col_b: np.ndarray, val_b, n_nodes: int, cap: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row-capped weighted C = A @ B in CSR (val_a/val_b None => all-ones).
+
+    Host SpGEMM used to chain higher-order expansions — A^3 = A^2 @ A for the
+    cn6 predictor (the reference computes per-batch `adj3` with cuSPARSE;
+    model.py:2447-2954 consumes it via adjoverlap).  C++ fast path
+    (native/graphcore.cpp gc_spgemm_csr); NumPy fallback below.
+    """
+    nat = native.load()
+    if nat is not None:
+        out = nat.spgemm_csr(ip_a, col_a, val_a, ip_b, col_b, val_b, n_nodes, cap)
+        if out is not None:
+            return out
+    ip_a = np.asarray(ip_a, np.int64)
+    col_a = np.asarray(col_a, np.int64)
+    ip_b = np.asarray(ip_b, np.int64)
+    col_b = np.asarray(col_b, np.int64)
+    va = None if val_a is None else np.asarray(val_a, np.float64)
+    vb = None if val_b is None else np.asarray(val_b, np.float64)
+    out_i = [0]
+    cols_all, vals_all = [], []
+    for j in range(n_nodes):
+        acc: dict = {}
+        for p in range(ip_a[j], ip_a[j + 1]):
+            m = col_a[p]
+            wa = 1.0 if va is None else float(va[p])
+            if wa == 0.0:
+                continue
+            for q in range(ip_b[m], ip_b[m + 1]):
+                wb = 1.0 if vb is None else float(vb[q])
+                if wb == 0.0:
+                    continue
+                k = int(col_b[q])
+                acc[k] = acc.get(k, 0.0) + wa * wb
+        uniq = np.asarray(sorted(acc.keys()), np.int64)
+        counts = np.asarray([acc[int(k)] for k in uniq], np.float64)
+        if cap > 0 and len(uniq) > cap:
+            keep = np.argsort(-counts, kind="stable")[:cap]
+            keep.sort()
+            uniq, counts = uniq[keep], counts[keep]
+        cols_all.append(uniq)
+        vals_all.append(counts)
+        out_i.append(out_i[-1] + len(uniq))
+    out_col = (
+        np.concatenate(cols_all).astype(np.int32) if cols_all else np.empty(0, np.int32)
+    )
+    out_val = (
+        np.concatenate(vals_all).astype(np.float32) if vals_all else np.empty(0, np.float32)
+    )
+    return np.asarray(out_i, np.int32), out_col, out_val
+
+
 def adj2_csr(
     indptr: np.ndarray, col: np.ndarray, n_nodes: int, cap: int = 1024
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

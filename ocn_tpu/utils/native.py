@@ -37,6 +37,13 @@ class _GraphCore:
             i32p, i32p, ctypes.c_int64, ctypes.c_int64, i32p,
             ctypes.c_void_p, ctypes.c_void_p]
         lib.gc_adj2_csr.restype = None
+        self._has_spgemm = hasattr(lib, "gc_spgemm_csr")
+        if self._has_spgemm:
+            lib.gc_spgemm_csr.argtypes = [
+                i32p, i32p, ctypes.c_void_p, i32p, i32p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, i32p,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.gc_spgemm_csr.restype = None
         self._f32p = f32p
 
     def csr_from_edges(self, edge_index: np.ndarray, n_nodes: int):
@@ -71,6 +78,36 @@ class _GraphCore:
             out_col.ctypes.data_as(ctypes.c_void_p),
             out_val.ctypes.data_as(ctypes.c_void_p),
         )
+        return out_indptr, out_col, out_val
+
+    def spgemm_csr(self, ip_a, col_a, val_a, ip_b, col_b, val_b,
+                   n_nodes: int, cap: int = 1024):
+        """Row-capped weighted C = A @ B CSR (native gc_spgemm_csr); val_a /
+        val_b may be None for all-ones.  Returns None if the loaded library
+        predates the symbol (rebuild with `make -C native`)."""
+        if not self._has_spgemm:
+            return None
+        ip_a = np.ascontiguousarray(ip_a, np.int32)
+        col_a = np.ascontiguousarray(col_a, np.int32)
+        ip_b = np.ascontiguousarray(ip_b, np.int32)
+        col_b = np.ascontiguousarray(col_b, np.int32)
+
+        # keep the contiguous copies alive for the duration of both calls
+        va_arr = None if val_a is None else np.ascontiguousarray(val_a, np.float32)
+        vb_arr = None if val_b is None else np.ascontiguousarray(val_b, np.float32)
+        va = None if va_arr is None else va_arr.ctypes.data_as(ctypes.c_void_p)
+        vb = None if vb_arr is None else vb_arr.ctypes.data_as(ctypes.c_void_p)
+        out_indptr = np.zeros(n_nodes + 1, np.int32)
+        self._lib.gc_spgemm_csr(
+            ip_a, col_a, va, ip_b, col_b, vb, n_nodes, cap, out_indptr,
+            None, None)
+        nnz = int(out_indptr[n_nodes])
+        out_col = np.zeros(nnz, np.int32)
+        out_val = np.zeros(nnz, np.float32)
+        self._lib.gc_spgemm_csr(
+            ip_a, col_a, va, ip_b, col_b, vb, n_nodes, cap, out_indptr,
+            out_col.ctypes.data_as(ctypes.c_void_p),
+            out_val.ctypes.data_as(ctypes.c_void_p))
         return out_indptr, out_col, out_val
 
     def negative_sampling(self, sorted_keys: np.ndarray, n_nodes: int, num: int, seed: int):
