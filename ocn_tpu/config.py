@@ -91,6 +91,7 @@ class Config:
                                      # per-chunk); bounded-compile middle
                                      # ground between per-chunk and hoisted
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
+    adj3_cap: int = 256              # A^3 row cap (cn6 "gather" fast path)
     cn2_counts: bool = False         # True => pygho-stack path-count values
     neg_mode: str = "uniform"        # "uniform": PyG negative_sampling non-
                                      # edges; "randint_target": keep sources,

@@ -49,6 +49,8 @@ class OCN3HopPredictor(nn.Module):
         cn3: CNFrame,
         tar_ei: jax.Array,
         training: bool = False,
+        y=None,
+        pos=None,
     ) -> jax.Array:
         det = not training
         beta = self.param("beta", nn.initializers.constant(self.beta_init), (1,))
@@ -66,13 +68,16 @@ class OCN3HopPredictor(nn.Module):
                 ema_v = (1.0 - b) * ema_v + b * batch_inner
             return ema_v
 
-        ncn1 = colnorm_quirk(cn1, 0.0)
+        from ocn_tpu.ops.frame import frame_index, matmul_shared
+
+        fidx = frame_index(cn1.ids, g.n_nodes)  # shared: all frames use src ids
+        ncn1 = colnorm_quirk(cn1, 0.0, fidx)
         scale = jnp.max(jnp.abs(ncn1.val))
 
         inner0 = ema_step(cn2.inner(ncn1))
         nip0 = jnp.where(scale > 0, inner0 / scale, inner0)
         ocn2 = colnorm_plain(cn2.with_values(
-            jnp.where(cn2.mask | ncn1.mask, cn2.val - nip0 * ncn1.val, 0.0)))
+            jnp.where(cn2.mask | ncn1.mask, cn2.val - nip0 * ncn1.val, 0.0)), fidx)
 
         inner1 = ema_step(cn3.inner(ncn1))
         inner2 = ema_step(cn3.inner(ocn2))
@@ -80,15 +85,13 @@ class OCN3HopPredictor(nn.Module):
         nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
         union3 = cn3.mask | ncn1.mask | ocn2.mask
         ocn3 = colnorm_plain(cn3.with_values(
-            jnp.where(union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)))
+            jnp.where(union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)), fidx)
 
         if training and not self.is_initializing():
             ema.value = ema_v
             nvar.value = n_v
 
-        from ocn_tpu.ops.frame import matmul_shared
-
-        a1, a2, a3 = matmul_shared([ncn1, ocn2, ocn3], x)
+        a1, a2, a3 = matmul_shared([ncn1, ocn2, ocn3], x, fidx, y=y, pos=pos)
         xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a1, det)
         xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a2, det)
         xcn3 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a3, det)

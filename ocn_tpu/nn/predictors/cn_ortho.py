@@ -59,6 +59,8 @@ class OCNPredictor(nn.Module):
         cn2: CNFrame,
         tar_ei: jax.Array,
         training: bool = False,
+        y: Optional[jax.Array] = None,
+        pos: Optional[jax.Array] = None,
     ) -> jax.Array:
         det = not training
         beta = self.param("beta", nn.initializers.constant(self.beta_init), (1,))
@@ -66,17 +68,21 @@ class OCNPredictor(nn.Module):
         ema = self.variable("ema", "innerprod", lambda: jnp.zeros(()))
         nvar = self.variable("ema", "n", lambda: jnp.zeros((), jnp.int32))
 
+        # one shared sorted-domain index per chunk: column sums become sorted
+        # segment-sums and the frame-matmul backward reuses the same sort
+        from ocn_tpu.ops.frame import frame_index, matmul_shared
+
+        fidx = frame_index(cn1.ids, g.n_nodes)
         ncn1, ocn2, new_ema, new_n = orthogonalize(
-            cn1, cn2, ema.value, nvar.value, training, self.empty_fill
+            cn1, cn2, ema.value, nvar.value, training, self.empty_fill, fidx
         )
         if training and not self.is_initializing():
             ema.value = new_ema
             nvar.value = new_n
 
-        # one shared gather for both aggregates (frames share ids)
-        from ocn_tpu.ops.frame import matmul_shared
-
-        xcn1, xcn2 = matmul_shared([ncn1, ocn2], x)
+        # one shared gather for both aggregates (frames share ids); with
+        # y/pos the gather reads contiguous CSR windows of the hoisted table
+        xcn1, xcn2 = matmul_shared([ncn1, ocn2], x, fidx, y=y, pos=pos)
         xij = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)(
             x[tar_ei[0]] * x[tar_ei[1]], det
         )
@@ -120,15 +126,21 @@ class CN1Predictor(nn.Module):
         cn2: CNFrame,
         tar_ei: jax.Array,
         training: bool = False,
+        y: Optional[jax.Array] = None,
+        pos: Optional[jax.Array] = None,
     ) -> jax.Array:
+        del y, pos  # one-hot aggregation gathers MLP weight columns, not x
         det = not training
         beta = self.param("beta", nn.initializers.constant(self.beta_init), (1,))
         alpha = self.param("alpha", nn.initializers.ones, (3,))
         ema = self.variable("ema", "innerprod", lambda: jnp.zeros(()))
         nvar = self.variable("ema", "n", lambda: jnp.zeros((), jnp.int32))
 
+        from ocn_tpu.ops.frame import frame_index
+
+        fidx = frame_index(cn1.ids, g.n_nodes)
         ncn1, ocn2, new_ema, new_n = orthogonalize(
-            cn1, cn2, ema.value, nvar.value, training, 0.0
+            cn1, cn2, ema.value, nvar.value, training, 0.0, fidx
         )
         if training and not self.is_initializing():
             ema.value = new_ema

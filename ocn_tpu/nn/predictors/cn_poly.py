@@ -90,19 +90,22 @@ class OCNPPredictor(nn.Module):
         cn2: CNFrame,
         tar_ei: jax.Array,
         training: bool = False,
+        y=None,
+        pos=None,
     ) -> jax.Array:
         det = not training
         beta = self.param("beta", nn.initializers.constant(self.beta_init), (1,))
         alpha = self.param("alpha", nn.initializers.ones, (3,))
 
-        c1 = colnorm_quirk(cn1, self.empty_fill) if self.normalize_cn1 else cn1
-        c2 = colnorm_quirk(cn2, self.empty_fill) if self.normalize_cn2 else cn2
+        from ocn_tpu.ops.frame import frame_index, matmul_shared
+
+        fidx = frame_index(cn1.ids, g.n_nodes)
+        c1 = colnorm_quirk(cn1, self.empty_fill, fidx) if self.normalize_cn1 else cn1
+        c2 = colnorm_quirk(cn2, self.empty_fill, fidx) if self.normalize_cn2 else cn2
         c1 = apply_basis(c1, chebyshev_basis(g.n_nodes, self.poly_first))
         c2 = apply_basis(c2, chebyshev_basis(g.n_nodes, self.poly_second))
 
-        from ocn_tpu.ops.frame import matmul_shared
-
-        a1, a2 = matmul_shared([c1, c2], x)  # shared-gather aggregates
+        a1, a2 = matmul_shared([c1, c2], x, fidx, y=y, pos=pos)
         xcn1 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a1, det)
         xcn2 = CNAggMLP(self.hidden, self.dropout, self.ln, False)(a2, det)
         xij = XijMLP(self.hidden, self.dropout, self.ln, self.tailact)(
@@ -144,12 +147,18 @@ class CN9Predictor(nn.Module):
         cn2: CNFrame,
         tar_ei: jax.Array,
         training: bool = False,
+        y=None,
+        pos=None,
     ) -> jax.Array:
+        del y, pos  # one-hot aggregation gathers MLP weight columns, not x
         det = not training
         beta = self.param("beta", nn.initializers.constant(self.beta_init), (1,))
         alpha = self.param("alpha", nn.initializers.ones, (3,))
 
-        c1 = colnorm_quirk(cn1, self.empty_fill)
+        from ocn_tpu.ops.frame import frame_index
+
+        fidx = frame_index(cn1.ids, g.n_nodes)
+        c1 = colnorm_quirk(cn1, self.empty_fill, fidx)
         c2 = cn2  # normalized_cn2 discarded (model.py:3608-3611)
         c1 = apply_basis(c1, chebyshev_basis(g.n_nodes, self.poly_first))
         c2 = apply_basis(c2, chebyshev_basis(g.n_nodes, self.poly_second))

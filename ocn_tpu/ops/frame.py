@@ -60,13 +60,14 @@ class NeighborFrame:
     ids: jax.Array
     w: jax.Array
     n_nodes: int
+    pos: Optional[jax.Array] = None  # (B, K) CSR positions ids were read from
 
     def tree_flatten(self):
-        return (self.ids, self.w), (self.n_nodes,)
+        return (self.ids, self.w, self.pos), (self.n_nodes,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0])
+        return cls(children[0], children[1], aux[0], children[2])
 
     @property
     def k(self) -> int:
@@ -131,7 +132,7 @@ def gather_neighbors(
         # invalid suffix lanes read into the next CSR row; sentinel-ize them so
         # rows stay ascending for the searchsorted membership fallback
         ids = jnp.where(valid, ids, g.n_nodes)
-        return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes)
+        return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes, pos=pos)
 
     # iid with-replacement path (reference-parity sampler)
     exact_off = jnp.minimum(lane, jnp.maximum(deg, 1)[:, None] - 1)
@@ -147,7 +148,8 @@ def gather_neighbors(
     order = jnp.argsort(ids, axis=-1)
     ids = jnp.take_along_axis(ids, order, axis=-1)
     w = jnp.take_along_axis(w, order, axis=-1)
-    return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes)
+    pos = jnp.take_along_axis(pos, order, axis=-1)
+    return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes, pos=pos)
 
 
 # above this Kq*Ks product the O(Kq*Ks) compare tensor stops paying for itself
@@ -276,6 +278,83 @@ def pad_features(x: jax.Array) -> jax.Array:
 import functools
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FrameIndex:
+    """Sorted-domain index of one chunk's flat candidate ids — computed once
+    per chunk and shared by every column-sum / frame-matmul of that chunk.
+
+    The reference's per-batch column sums (`cn.sum(dim=0)`, model.py:2261)
+    and their gradients would each lower to an unsorted TPU scatter into all
+    n_nodes buckets — the slowest op class on TPU (BENCH_NOTES.md).  Sorting
+    the B*K flat ids ONCE turns every one of them into a sorted segment-sum
+    plus cheap elementwise gathers, and the frame-matmul backward reuses the
+    same sort instead of re-sorting inside the VJP.
+
+    perm     : (M,) argsort of flat ids (ascending; sentinel n_nodes last)
+    inv_perm : (M,) inverse permutation (entry -> sorted position)
+    rank     : (M,) compact column index per sorted position (0..U-1)
+    seg      : (M,) sorted ids clamped to n_nodes-1 (frame-matmul dx segments)
+    rowidx   : (M,) chunk-row index per sorted position (perm // K)
+    """
+
+    perm: jax.Array
+    inv_perm: jax.Array
+    rank: jax.Array
+    seg: jax.Array
+    rowidx: jax.Array
+
+    def tree_flatten(self):
+        return (self.perm, self.inv_perm, self.rank, self.seg, self.rowidx), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def frame_index(ids: jax.Array, n_nodes: int) -> FrameIndex:
+    """Build the shared sorted-domain index for a (B, K) id array."""
+    b, k = ids.shape
+    flat = ids.reshape(-1)
+    m = flat.shape[0]
+    perm = jnp.argsort(flat)
+    sorted_ids = flat[perm]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    inv_perm = jnp.zeros((m,), jnp.int32).at[perm].set(iota)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
+    )
+    rank = jnp.cumsum(is_start) - 1
+    seg = jnp.minimum(sorted_ids, n_nodes - 1)
+    rowidx = (perm // k).astype(jnp.int32)
+    return FrameIndex(perm, inv_perm, rank.astype(jnp.int32), seg, rowidx)
+
+
+@jax.custom_vjp
+def entry_col_sum(val: jax.Array, perm, rank, inv_perm) -> jax.Array:
+    """Per-entry column sums: out[b, k] = sum of val over entries sharing
+    ids[b, k] — i.e. the batch column sum S[ids[b,k]] delivered directly at
+    each entry (what `scale_cols(f(col_sum()))` consumes), with no n_nodes-
+    domain array anywhere.  Linear and SELF-ADJOINT (the matrix [id_p == id_q]
+    is symmetric), so the VJP is the same map applied to the cotangent."""
+    m = val.size
+    sv = val.reshape(-1)[perm]
+    sums = jax.ops.segment_sum(sv, rank, num_segments=m, indices_are_sorted=True)
+    return sums[rank][inv_perm].reshape(val.shape)
+
+
+def _entry_col_sum_fwd(val, perm, rank, inv_perm):
+    return entry_col_sum(val, perm, rank, inv_perm), (perm, rank, inv_perm)
+
+
+def _entry_col_sum_bwd(res, g):
+    perm, rank, inv_perm = res
+    return entry_col_sum(g, perm, rank, inv_perm), None, None, None
+
+
+entry_col_sum.defvjp(_entry_col_sum_fwd, _entry_col_sum_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _frame_matmul(x, ids, val, n_nodes):
     rows = x[jnp.minimum(ids, n_nodes - 1)]  # (B, K, H)
@@ -354,11 +433,109 @@ def _frame_matmul_multi_bwd(n_nodes, res, dout):
 _frame_matmul_multi.defvjp(_frame_matmul_multi_fwd, _frame_matmul_multi_bwd)
 
 
-def matmul_shared(frames: "list[CNFrame]", x: jax.Array) -> "list[jax.Array]":
-    """cn @ x for several frames sharing one id array, one gather total."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _frame_matmul_multi_prep(x, ids, vals, perm, seg, rowidx, n_nodes):
+    """_frame_matmul_multi with the flat-id sort precomputed (FrameIndex):
+    the backward's dx segment-sum reuses (perm, seg, rowidx) instead of
+    re-sorting inside the VJP."""
+    rows = x[jnp.minimum(ids, n_nodes - 1)]  # (B, K, H) — single gather
+    return jnp.einsum(
+        "pbk,bkh->pbh", vals, rows, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _frame_matmul_multi_prep_fwd(x, ids, vals, perm, seg, rowidx, n_nodes):
+    out = _frame_matmul_multi_prep(x, ids, vals, perm, seg, rowidx, n_nodes)
+    return out, (x, ids, vals, perm, seg, rowidx)
+
+
+def _frame_matmul_multi_prep_bwd(n_nodes, res, dout):
+    x, ids, vals, perm, seg, rowidx = res
+    b, k = ids.shape
+    coef = jnp.einsum("pbk,pbh->bkh", vals, dout.astype(jnp.float32))
+    contrib = coef.reshape(b * k, -1)[perm]
+    dx = jax.ops.segment_sum(
+        contrib, seg, num_segments=n_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+    rows = x[jnp.minimum(ids, n_nodes - 1)]
+    dvals = jnp.einsum(
+        "bkh,pbh->pbk", rows, dout, preferred_element_type=jnp.float32
+    ).astype(vals.dtype)
+    return dx, None, dvals, None, None, None
+
+
+_frame_matmul_multi_prep.defvjp(
+    _frame_matmul_multi_prep_fwd, _frame_matmul_multi_prep_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _frame_matmul_multi_window(x, y, pos, ids, vals, perm, seg, n_nodes):
+    """Window-table frame matmul: the candidate ids of a chunk are contiguous
+    CSR windows, so with y = stop_gradient(x)[g.col] (ONE CSR-order gather per
+    step, hoisted out of the chunk scan) the per-chunk (B, K, H) row gather
+    becomes y[pos] — 4096 contiguous 64-row slices instead of 262k random
+    rows, the measured ~30 GB/s random-gather bottleneck (BENCH_NOTES.md).
+
+    Gradient routing: out depends on x only through y; callers MUST pass y
+    built from stop_gradient(x) so the full, exact cotangent flows through
+    this VJP's dx (the sorted-segment formulation, reusing the FrameIndex
+    sort) and zero flows through y."""
+    rows = y[pos]  # (B, K, H) — contiguous window slices
+    return jnp.einsum(
+        "pbk,bkh->pbh", vals, rows, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _frame_matmul_multi_window_fwd(x, y, pos, ids, vals, perm, seg, n_nodes):
+    out = _frame_matmul_multi_window(x, y, pos, ids, vals, perm, seg, n_nodes)
+    return out, (x, y, pos, vals, perm, seg)
+
+
+def _frame_matmul_multi_window_bwd(n_nodes, res, dout):
+    x, y, pos, vals, perm, seg = res
+    p, b, k = vals.shape
+    coef = jnp.einsum("pbk,pbh->bkh", vals, dout.astype(jnp.float32))
+    contrib = coef.reshape(b * k, -1)[perm]
+    dx = jax.ops.segment_sum(
+        contrib, seg, num_segments=n_nodes, indices_are_sorted=True
+    ).astype(x.dtype)
+    rows = y[pos]  # windowed re-gather (fast)
+    dvals = jnp.einsum(
+        "bkh,pbh->pbk", rows, dout, preferred_element_type=jnp.float32
+    ).astype(vals.dtype)
+    return dx, None, None, None, dvals, None, None
+
+
+_frame_matmul_multi_window.defvjp(
+    _frame_matmul_multi_window_fwd, _frame_matmul_multi_window_bwd
+)
+
+
+def matmul_shared(
+    frames: "list[CNFrame]",
+    x: jax.Array,
+    fidx: Optional[FrameIndex] = None,
+    y: Optional[jax.Array] = None,
+    pos: Optional[jax.Array] = None,
+) -> "list[jax.Array]":
+    """cn @ x for several frames sharing one id array, one gather total.
+
+    ``y``/``pos``: window-table fast path — y = stop_gradient(x)[g.col]
+    hoisted once per step, pos the frames' CSR window positions (requires
+    fidx; see _frame_matmul_multi_window)."""
     ids = frames[0].ids
     vals = jnp.stack([f.val for f in frames])
-    out = _frame_matmul_multi(x, ids, vals, frames[0].n_nodes)
+    if y is not None and pos is not None and fidx is not None:
+        out = _frame_matmul_multi_window(
+            x, y, pos, ids, vals, fidx.perm, fidx.seg, frames[0].n_nodes
+        )
+    elif fidx is not None:
+        out = _frame_matmul_multi_prep(
+            x, ids, vals, fidx.perm, fidx.seg, fidx.rowidx, frames[0].n_nodes
+        )
+    else:
+        out = _frame_matmul_multi(x, ids, vals, frames[0].n_nodes)
     return [out[i] for i in range(len(frames))]
 
 
@@ -472,16 +649,30 @@ def cn3_frame(
     key: Optional[jax.Array] = None,
     chunk: int = 256,
     counts: bool = False,
+    adj3: Optional[Graph] = None,
 ) -> CNFrame:
     """3-hop CN frame: cn3[b, k] != 0 iff candidate k (in N(i)) has
     A^3[j_b, k] > 0 (reference cn6 consumes `adjoverlap(adj, adj3, edge)`;
     the registry-only 3-hop predictor, model.py:2447-2954).
 
-    Computed on the fly as A^3[j, k] = sum_{m in N(k)} |N(m) /\\ N(j)| with
+    Fast path (``adj3``): one membership lookup against a precomputed
+    row-capped A^3 = A^2 @ A (host SpGEMM, native gc_spgemm_csr) — the same
+    trick as the cn2 "gather" mode, making cn6 cost the same per chunk as
+    cn5.  No maskinput self-path correction is applied to A^3 (third-order
+    paths through the removed edge are a vanishing fraction; the SDDMM path
+    below remains the exact-on-masked-adjacency fallback).
+
+    Fallback: on-the-fly A^3[j, k] = sum_{m in N(k)} |N(m) /\\ N(j)| with
     degree caps k2 (candidate/dst neighborhoods) and k3 (second-hop lists),
     chunked over the batch — the cubic analogue of the cn2 SDDMM.
     """
     b, k = src.ids.shape
+    if adj3 is not None:
+        a3row = gather_neighbors(adj3, tar_ei[1], k2, key)
+        counts3 = _rowwise_membership(src.ids, a3row.ids, a3row.w)
+        base = counts3 if counts else (counts3 > 0).astype(jnp.float32)
+        val = jnp.where(src.w != 0, src.w * base, 0.0)
+        return CNFrame(ids=src.ids, val=val, n_nodes=g.n_nodes)
     dstf = gather_neighbors(g, tar_ei[1], k2, None)
     nchunk = -(-b // chunk)
     pad = nchunk * chunk - b

@@ -23,24 +23,40 @@ Every quirk of the reference math is preserved deliberately (SURVEY.md §7.3.4):
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ocn_tpu.ops.frame import CNFrame
+from ocn_tpu.ops.frame import CNFrame, FrameIndex, entry_col_sum
 
 
-def colnorm_quirk(cn: CNFrame, empty_fill: float = 0.0) -> CNFrame:
-    """Column-normalize with the reference's cn1 rule (model.py:2261-2272)."""
+def colnorm_quirk(
+    cn: CNFrame, empty_fill: float = 0.0, fidx: Optional[FrameIndex] = None
+) -> CNFrame:
+    """Column-normalize with the reference's cn1 rule (model.py:2261-2272).
+
+    With ``fidx`` the column sums are computed per-entry in the chunk's
+    sorted domain (one shared sort, no n_nodes-bucket scatter; see
+    FrameIndex) — numerically identical since the scale only ever applies at
+    entries whose column is present in the chunk."""
+    if fidx is not None:
+        s = entry_col_sum(cn.val, fidx.perm, fidx.rank, fidx.inv_perm)
+        s_rep = jnp.where(s == 0, 1.0, s)
+        inv = jnp.where(s_rep != 1, 1.0 / s_rep, empty_fill)
+        return cn.with_values(cn.val * inv)
     s = cn.col_sum()
     s_rep = jnp.where(s == 0, 1.0, s)
     inv = jnp.where(s_rep != 1, 1.0 / s_rep, empty_fill)
     return cn.scale_cols(inv)
 
 
-def colnorm_plain(cn: CNFrame) -> CNFrame:
+def colnorm_plain(cn: CNFrame, fidx: Optional[FrameIndex] = None) -> CNFrame:
     """Column-normalize with the post-projection rule (model.py:2405-2413)."""
+    if fidx is not None:
+        s = entry_col_sum(cn.val, fidx.perm, fidx.rank, fidx.inv_perm)
+        inv = 1.0 / jnp.where(s == 0, 1.0, s)
+        return cn.with_values(cn.val * inv)
     s = cn.col_sum()
     inv = 1.0 / jnp.where(s == 0, 1.0, s)
     return cn.scale_cols(inv)
@@ -84,12 +100,14 @@ def orthogonalize(
     n: jax.Array,
     training: bool,
     empty_fill: float = 0.0,
+    fidx: Optional[FrameIndex] = None,
 ) -> Tuple[CNFrame, CNFrame, jax.Array, jax.Array]:
     """Full cn5 pipeline: normalize -> EMA inner product -> Gram-Schmidt ->
     renormalize (model.py:2261-2423).  Returns (ncn1, ocn2, new_ema, new_n).
-    """
-    ncn1 = colnorm_quirk(cn1, empty_fill)
+    ``fidx`` (valid for frames sharing cn1.ids) routes both column sums
+    through the chunk's shared sorted-domain index."""
+    ncn1 = colnorm_quirk(cn1, empty_fill, fidx)
     inner, new_ema, new_n = ema_inner_product(cn2, ncn1, ema, n, training)
     ocn2 = gram_schmidt(cn2, ncn1, inner)
-    ocn2 = colnorm_plain(ocn2)
+    ocn2 = colnorm_plain(ocn2, fidx)
     return ncn1, ocn2, new_ema, new_n

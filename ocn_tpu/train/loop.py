@@ -90,12 +90,17 @@ class Trainer:
         # graph instead of the reference's per-batch cuSPARSE SpGEMM)
         self.adj2 = None
         self.full_adj2 = None
+        self.adj3 = None
         if cfg.two_hop_mode == "gather" and (self.frame_based or cfg.predictor == "cn3"):
             self.adj2 = self._build_adj2(self.g)
             self.full_adj2 = (
                 self._build_adj2(self.full_g)
                 if ds.full_edge_index is not None else self.adj2
             )
+            if cfg.predictor in THREE_HOP:
+                # A^3 = A^2 @ A once per graph (native gc_spgemm_csr): cn6's
+                # 3-hop counts become one row gather + membership per chunk
+                self.adj3 = self._build_adj3(self.g, self.adj2)
 
         # maskinput support: train-edge -> nnz position map, once per dataset
         self.train_edges = np.asarray(ds.split_edge["train"]["edge"]).T  # (2, E)
@@ -119,6 +124,18 @@ class Trainer:
         col = np.asarray(g.col)[: int(ip[-1])]
         ip2, col2, val2 = B.adj2_csr(ip, col, g.n_nodes, cap=self.cfg.adj2_cap)
         return graph_from_numpy(ip2, col2, g.n_nodes, val2)
+
+    def _build_adj3(self, g: Graph, adj2: Graph) -> Graph:
+        from ocn_tpu.sparse.csr import graph_from_numpy
+
+        ip = np.asarray(g.indptr)
+        col = np.asarray(g.col)[: int(ip[-1])]
+        ip2 = np.asarray(adj2.indptr)
+        col2 = np.asarray(adj2.col)[: int(ip2[-1])]
+        val2 = np.asarray(adj2.val)[: int(ip2[-1])]
+        ip3, col3, val3 = B.spgemm_csr(
+            ip2, col2, val2, ip, col, None, g.n_nodes, cap=self.cfg.adj3_cap)
+        return graph_from_numpy(ip3, col3, g.n_nodes, val3)
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> TrainState:
@@ -145,7 +162,7 @@ class Trainer:
                 )
                 cn3 = cn3_frame(
                     self.g, ei0, src, k2=min(cfg.pad_deg2, 16), k3=16,
-                    counts=cfg.cn2_counts,
+                    counts=cfg.cn2_counts, adj3=self.adj3,
                 )
                 pred_vars = self.predictor.init(
                     {"params": k_pred, "dropout": k_pred},
@@ -181,12 +198,15 @@ class Trainer:
         return _largest_divisor_leq(cfg.batch_size, target)
 
     def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corr=None):
+                     adj2=None, corr=None, y=None):
         """Score one (2, C) chunk; returns ((C,) scores, new_ema).
 
         ``adj2``: precomputed A^2 Graph for the "gather" two-hop mode.
         ``corr``: (C,) maskinput self-path correction flags (1 for positive
         train edges whose (i, j) was just masked out; see ops/frame.py).
+        ``y``: hoisted window table stop_gradient(h)[g.col] — turns the
+        predictor's (B, K, H) row gather into contiguous CSR window slices
+        (ops/frame.py _frame_matmul_multi_window).
         """
         cfg = self.cfg
         rngs = {}
@@ -198,11 +218,12 @@ class Trainer:
             frame_key = None
         variables = {"params": params["predictor"], "ema": ema, "sched": sched}
         if self.frame_based:
-            cn1, cn2 = cn_frames(
+            cn1, cn2, src = cn_frames(
                 g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
-                adj2=adj2, self_corr=corr,
+                adj2=adj2, self_corr=corr, with_src=True,
             )
+            pos = src.pos if (y is not None and cfg.cndeg <= 0) else None
             if cfg.cndeg > 0:
                 # reference cnsampledeg cap on the CN sets (utils.py:265-266)
                 from ocn_tpu.ops.sample import sample_frame
@@ -215,27 +236,21 @@ class Trainer:
             if cfg.predictor in THREE_HOP:
                 from ocn_tpu.ops.frame import cn3_frame
 
-                # rebuild sharing the SAME candidate frame as cn1/cn2
-                cn1, cn2, src = cn_frames(
-                    g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
-                    cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
-                    with_src=True, adj2=adj2, self_corr=corr,
-                )
-                cn1 = cn1.with_values(cn1.val * valid[:, None])
-                cn2 = cn2.with_values(cn2.val * valid[:, None])
+                # cn3 shares the SAME candidate frame (src) as cn1/cn2
                 cn3 = cn3_frame(
                     g, edges, src, k2=min(cfg.pad_deg2, 16), k3=16,
                     counts=cfg.cn2_counts,
+                    adj3=self.adj3 if adj2 is not None else None,
                 )
                 cn3 = cn3.with_values(cn3.val * valid[:, None])
                 out, upd = self.predictor.apply(
                     variables, h, g, cn1, cn2, cn3, edges, training,
-                    rngs=rngs, mutable=["ema"],
+                    rngs=rngs, mutable=["ema"], y=y, pos=pos,
                 )
             else:
                 out, upd = self.predictor.apply(
                     variables, h, g, cn1, cn2, edges, training,
-                    rngs=rngs, mutable=["ema"],
+                    rngs=rngs, mutable=["ema"], y=y, pos=pos,
                 )
         else:
             out, upd = self.predictor.apply(
@@ -245,14 +260,14 @@ class Trainer:
         return out.reshape(-1), upd.get("ema", ema)
 
     def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corrs=None):
+                     adj2=None, corrs=None, y=None):
         """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema)."""
         def body(carry, inp):
             ema_c, i = carry
             e, v, cr = inp
             out, ema_n = self._score_chunk(
                 params, ema_c, sched, h, g, e, v,
-                jax.random.fold_in(key, i), training, adj2=adj2, corr=cr,
+                jax.random.fold_in(key, i), training, adj2=adj2, corr=cr, y=y,
             )
             return (ema_n, i + 1), out
 
@@ -262,7 +277,7 @@ class Trainer:
         return outs.reshape(-1), ema_f
 
     def _scan_scores_grouped(self, params, ema, sched, h, g, edges, valid, key,
-                             training, adj2, corrs):
+                             training, adj2, corrs, y=None):
         """Middle ground between the per-chunk scan and full hoisting: each
         scan step builds CN frames for `frame_group` chunks in one vectorized
         shot, then applies the predictor per chunk (column-normalization
@@ -285,11 +300,12 @@ class Trainer:
             ema_c, i = carry
             e, v, cr = inp
             frame_key = jax.random.fold_in(key, i) if training else None
-            cn1, cn2 = cn_frames(
+            cn1, cn2, src = cn_frames(
                 g, e, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
-                adj2=adj2, self_corr=cr,
+                adj2=adj2, self_corr=cr, with_src=True,
             )
+            use_win = y is not None and cfg.cndeg <= 0
             if cfg.cndeg > 0:
                 from ocn_tpu.ops.sample import sample_frame
 
@@ -310,6 +326,8 @@ class Trainer:
                     CNFrame(cn1.ids[sl], cn1.val[sl], g.n_nodes),
                     CNFrame(cn2.ids[sl], cn2.val[sl], g.n_nodes),
                     e[:, sl], training, rngs=rngs, mutable=["ema"],
+                    y=y if use_win else None,
+                    pos=src.pos[sl] if use_win else None,
                 )
                 ema_c = upd.get("ema", ema_c)
                 outs.append(out.reshape(-1))
@@ -320,7 +338,7 @@ class Trainer:
         return outs.reshape(-1), ema_f
 
     def _scan_scores_hoisted(self, params, ema, sched, h, g, edges, valid, key,
-                             training, adj2, corrs):
+                             training, adj2, corrs, y=None):
         """Frame-based fast path: extract CN frames for the WHOLE batch in one
         vectorized shot (gathers/membership outside the serialized scan), then
         scan the predictor over per-chunk frame slices.  Column sums stay
@@ -333,11 +351,13 @@ class Trainer:
             key_frames, key = jax.random.split(key)
         else:
             key_frames = None
-        cn1, cn2 = cn_frames(
+        cn1, cn2, src = cn_frames(
             g, flat, k=cfg.pad_deg, k2=cfg.pad_deg2, key=key_frames,
             cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
             adj2=adj2, self_corr=None if corrs is None else corrs.reshape(-1),
+            with_src=True,
         )
+        use_win = y is not None and cfg.cndeg <= 0
         if cfg.cndeg > 0:
             from ocn_tpu.ops.sample import sample_frame
 
@@ -350,12 +370,13 @@ class Trainer:
         ids_c = cn1.ids.reshape(nchunk, c, k1)
         v1_c = cn1.val.reshape(nchunk, c, k1)
         v2_c = cn2.val.reshape(nchunk, c, cn2.ids.shape[-1])
+        pos_c = src.pos.reshape(nchunk, c, k1)
 
         from ocn_tpu.ops.frame import CNFrame
 
         def body(carry, inp):
             ema_c, i = carry
-            e, ids, v1, v2 = inp
+            e, ids, v1, v2, ps = inp
             rngs = {}
             if training:
                 kd = jax.random.fold_in(key, i)
@@ -366,11 +387,12 @@ class Trainer:
                 variables,
                 h, g, CNFrame(ids, v1, g.n_nodes), CNFrame(ids, v2, g.n_nodes),
                 e, training, rngs=rngs, mutable=["ema"],
+                y=y if use_win else None, pos=ps if use_win else None,
             )
             return (upd.get("ema", ema_c), i + 1), out.reshape(-1)
 
         (ema_f, _), outs = jax.lax.scan(
-            body, (ema, 0), (edges, ids_c, v1_c, v2_c))
+            body, (ema, 0), (edges, ids_c, v1_c, v2_c, pos_c))
         return outs.reshape(-1), ema_f
 
     # ------------------------------------------------------------ train step
@@ -424,6 +446,12 @@ class Trainer:
                     rngs={"dropout": k_enc},
                 )
                 h = self._constrain_tp(h)
+                # hoisted window table: ONE CSR-order gather per step; the
+                # gradient to h flows through the frame matmuls' custom VJP,
+                # not through y (see _frame_matmul_multi_window)
+                y = None
+                if self.frame_based and cfg.cndeg <= 0:
+                    y = jax.lax.stop_gradient(h)[g.col]
                 corrs = None
                 if cfg.maskinput and self.adj2 is not None:
                     # self-path correction applies to positive chunks only
@@ -441,7 +469,7 @@ class Trainer:
                     scan_fn = self._scan_scores
                 out, ema2 = scan_fn(
                     params, ema, state.sched, h, g, allc, validc, k_lnk, True,
-                    adj2=self.adj2, corrs=corrs)
+                    adj2=self.adj2, corrs=corrs, y=y)
                 pos_out, neg_out = out[: b], out[b:]
                 loss = L.LOSSES[cfg.losstrick](
                     pos_out, neg_out, num_neg=1,
@@ -479,9 +507,12 @@ class Trainer:
         self.encode = jax.jit(encode)
 
         def score(params, ema, sched, h, g, adj2, edges, valid):
+            y = None
+            if self.frame_based and cfg.cndeg <= 0:
+                y = h[g.col]
             out, _ = self._score_chunk(
                 params, ema, sched, h, g, edges, valid,
-                jax.random.PRNGKey(0), False, adj2=adj2,
+                jax.random.PRNGKey(0), False, adj2=adj2, y=y,
             )
             return out
 

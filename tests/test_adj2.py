@@ -74,3 +74,26 @@ def test_gather_mode_maskinput_correction(rng):
                         self_corr=jnp.ones((1,)))
     _, want1 = cn_frames(gm1, e1, k=g.n_nodes, cn2_counts=True)
     np.testing.assert_allclose(frame_to_dense(got1), frame_to_dense(want1))
+
+
+def test_cn3_gather_matches_sddmm(rng):
+    """cn6's 3-hop frame via precomputed row-capped A^3 == on-the-fly SDDMM."""
+    from ocn_tpu.ops.frame import cn3_frame, gather_neighbors
+    from ocn_tpu.sparse.csr import graph_from_numpy
+
+    g, dense = random_graph(rng)
+    n = g.n_nodes
+    ip = np.asarray(g.indptr)
+    col = np.asarray(g.col)[: int(ip[-1])]
+    ip2, col2, val2 = B.adj2_csr(ip, col, n, 0)
+    ip3, col3, val3 = B.spgemm_csr(ip2, col2, val2, ip, col, None, n, 0)
+    adj3 = graph_from_numpy(ip3, col3, n, val3)
+
+    edges = jnp.asarray(rng.integers(0, n, size=(2, 12)))
+    src = gather_neighbors(g, edges[0], k=n)
+    for counts in (False, True):
+        c_sddmm = cn3_frame(g, edges, src, k2=n, k3=n, counts=counts)
+        c_gather = cn3_frame(g, edges, src, k2=n, k3=n, counts=counts, adj3=adj3)
+        np.testing.assert_allclose(
+            frame_to_dense(c_gather), frame_to_dense(c_sddmm),
+            err_msg=f"counts={counts}")

@@ -215,3 +215,89 @@ def test_matmul_shared_matches_individual(rng):
     g1 = jax.grad(sep_loss, argnums=(0, 1, 2))(x, v1, v2)
     for a, b_ in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_frame_index_entry_col_sum(rng):
+    """entry_col_sum == N-domain col_sum gathered at each entry's id, and its
+    self-adjoint VJP matches autodiff of the naive formulation."""
+    from ocn_tpu.ops.frame import entry_col_sum, frame_index
+
+    n, b, k = 37, 9, 6
+    ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
+    val = jnp.asarray(rng.random((b, k)), jnp.float32)
+    fidx = frame_index(ids, n)
+    got = entry_col_sum(val, fidx.perm, fidx.rank, fidx.inv_perm)
+
+    def naive(v):
+        s = jax.ops.segment_sum(v.reshape(-1), ids.reshape(-1), num_segments=n + 1)
+        return s[jnp.minimum(ids, n)]  # per-entry column sum (sentinel incl.)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(naive(val)), rtol=1e-6)
+
+    co = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
+    g0 = jax.grad(lambda v: jnp.sum(naive(v) * co))(val)
+    g1 = jax.grad(
+        lambda v: jnp.sum(entry_col_sum(v, fidx.perm, fidx.rank, fidx.inv_perm) * co)
+    )(val)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+
+def test_orthogonalize_fidx_matches_plain(rng):
+    """The sorted-domain (fidx) pipeline must be bit-equivalent to the
+    n_nodes-domain one, values and gradients."""
+    from ocn_tpu.ops.frame import frame_index, matmul_shared
+
+    n, b, k, h = 41, 8, 5, 8
+    ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
+    v1 = jnp.where(ids == n, 0.0, jnp.asarray(rng.random((b, k)), jnp.float32))
+    v2 = jnp.where(ids == n, 0.0,
+                   jnp.asarray((rng.random((b, k)) > 0.4).astype(np.float32)))
+    x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    ema = jnp.asarray(0.3)
+    nn_ = jnp.asarray(2, jnp.int32)
+    fidx = frame_index(ids, n)
+
+    def run(w1, w2, xx, use_fidx):
+        c1, c2 = CNFrame(ids, w1, n), CNFrame(ids, w2, n)
+        ncn1, ocn2, e2, n2 = ortho.orthogonalize(
+            c1, c2, ema, nn_, True, 0.0, fidx if use_fidx else None)
+        o1, o2 = matmul_shared([ncn1, ocn2], xx, fidx if use_fidx else None)
+        return jnp.sum(o1 ** 2) + jnp.sum(o2) + e2
+
+    for a, b_ in zip(
+        jax.grad(lambda *a_: run(*a_, True), argnums=(0, 1, 2))(v1, v2, x),
+        jax.grad(lambda *a_: run(*a_, False), argnums=(0, 1, 2))(v1, v2, x),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        float(run(v1, v2, x, True)), float(run(v1, v2, x, False)), rtol=1e-5)
+
+
+def test_window_matmul_matches_gather(rng):
+    """The window-table path (y = stop_grad(x)[g.col], rows = y[pos]) must be
+    bit-equivalent to the id-gather path, values and gradients."""
+    from ocn_tpu.ops.frame import frame_index, matmul_shared
+
+    g, _ = random_graph(rng, n=40, p=0.2)
+    h = 8
+    edges = jnp.asarray(rng.integers(0, g.n_nodes, size=(2, 9)))
+    src = gather_neighbors(g, edges[0], k=5)
+    v1 = jnp.where(src.w != 0, jnp.asarray(rng.random(src.ids.shape), jnp.float32), 0.0)
+    v2 = jnp.where(src.w != 0, jnp.asarray(rng.random(src.ids.shape), jnp.float32), 0.0)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, h)), jnp.float32)
+    fidx = frame_index(src.ids, g.n_nodes)
+
+    def run(xx, w1, w2, window):
+        f1 = CNFrame(src.ids, w1, g.n_nodes)
+        f2 = CNFrame(src.ids, w2, g.n_nodes)
+        y = jax.lax.stop_gradient(xx)[g.col] if window else None
+        o1, o2 = matmul_shared(
+            [f1, f2], xx, fidx, y=y, pos=src.pos if window else None)
+        return jnp.sum(o1 ** 2) + jnp.sum(o2 * 3.0)
+
+    np.testing.assert_allclose(
+        float(run(x, v1, v2, True)), float(run(x, v1, v2, False)), rtol=1e-5)
+    g0 = jax.grad(lambda *a: run(*a, True), argnums=(0, 1, 2))(x, v1, v2)
+    g1 = jax.grad(lambda *a: run(*a, False), argnums=(0, 1, 2))(x, v1, v2)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
