@@ -135,3 +135,30 @@ def test_ring_spmm_matches_dense():
     xs = jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P("dp", None)))
     out = np.asarray(spmm_fn(xs))[: g.n_nodes]
     np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_boundary_spmm_matches_dense():
+    """Boundary-only (halo all_to_all) SpMM equals the dense product and
+    ships less than the full all-gather."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ocn_tpu.parallel.mesh import make_mesh
+    from ocn_tpu.parallel.node_sharded import (
+        make_boundary_spmm, partition_graph_boundary,
+    )
+    from tests.test_frame import random_graph
+
+    rng = np.random.default_rng(2)
+    g, dense = random_graph(rng, n=72, p=0.10)
+    mesh = make_mesh(dp=4, tp=1)
+    part = partition_graph_boundary(g, 4)
+    assert 0.0 < part.halo_fraction <= 1.0
+    spmm_fn, pad_rows = make_boundary_spmm(mesh, part)
+    x = rng.standard_normal((g.n_nodes, 8)).astype(np.float32)
+    xp = np.zeros((pad_rows, 8), np.float32)
+    xp[: g.n_nodes] = x
+    xs = jax.device_put(jnp.asarray(xp), NamedSharding(mesh, P("dp", None)))
+    out = np.asarray(spmm_fn(xs))[: g.n_nodes]
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
