@@ -106,7 +106,15 @@ def run(cfg: Config) -> dict:
         best = None
         for epoch in range(1, cfg.epochs + 1):
             t1 = time.time()
-            state, loss = tr.train_epoch(state, rng, epoch)
+            if cfg.profile_dir and epoch == 1 and run_i == 0:
+                # device-level tracing (SURVEY.md §5: the reference only has
+                # wall-clock prints; here one epoch gets a full xprof trace)
+                import jax
+
+                with jax.profiler.trace(cfg.profile_dir):
+                    state, loss = tr.train_epoch(state, rng, epoch)
+            else:
+                state, loss = tr.train_epoch(state, rng, epoch)
             ttrain = time.time() - t1
             t1 = time.time()
             if mrr_mode:

@@ -92,6 +92,12 @@ class Config:
                                      # ground between per-chunk and hoisted
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     adj3_cap: int = 256              # A^3 row cap (cn6 "gather" fast path)
+    window_table: bool = False       # hoist y = stop_grad(h)[g.col] and read
+                                     # frame rows as contiguous CSR window
+                                     # slices; needs the Pallas window-DMA
+                                     # kernel to win (XLA lowers y[pos] as a
+                                     # plain random gather: measured 87.2k ->
+                                     # 74.1k edges/s without it)
     cn2_counts: bool = False         # True => pygho-stack path-count values
     neg_mode: str = "uniform"        # "uniform": PyG negative_sampling non-
                                      # edges; "randint_target": keep sources,
@@ -108,6 +114,8 @@ class Config:
                                      # contiguity - so off by default
     dtype: str = "float32"           # "bfloat16" for MXU-friendly training
     platform: str = ""               # "" = default backend; "cpu" forces CPU
+    profile_dir: str = ""            # write a jax.profiler trace of epoch 1
+                                     # here (open with xprof/tensorboard)
     seed: int = 0
     data_root: str = "dataset"
     synthetic_scale: float = 1.0

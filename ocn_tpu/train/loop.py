@@ -450,7 +450,7 @@ class Trainer:
                 # gradient to h flows through the frame matmuls' custom VJP,
                 # not through y (see _frame_matmul_multi_window)
                 y = None
-                if self.frame_based and cfg.cndeg <= 0:
+                if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
                     y = jax.lax.stop_gradient(h)[g.col]
                 corrs = None
                 if cfg.maskinput and self.adj2 is not None:
@@ -508,7 +508,7 @@ class Trainer:
 
         def score(params, ema, sched, h, g, adj2, edges, valid):
             y = None
-            if self.frame_based and cfg.cndeg <= 0:
+            if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
                 y = h[g.col]
             out, _ = self._score_chunk(
                 params, ema, sched, h, g, edges, valid,

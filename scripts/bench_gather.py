@@ -108,15 +108,84 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"pallas     FAILED: {type(e).__name__}: {e}", flush=True)
 
+    # ---- window-DMA kernel: gather B contiguous (J, H) windows -----------
+    # This is the REAL frame-gather shape: candidate rows per edge are a
+    # contiguous CSR window of y = h[g.col].  One 36 KB DMA per window
+    # (4096 DMAs/chunk) instead of 262k random row reads.
+    E2, B2, K2 = 1320618, 4096, 64
+    J = K2 + 8  # 8-aligned start slack
+    yt = jnp.asarray(rng.standard_normal((E2, H)), jnp.bfloat16)
+    pos0_np = rng.integers(0, E2 - K2, size=(B2,), dtype=np.int32)
+    p0_np = np.minimum((pos0_np // 8) * 8, E2 - J).astype(np.int32)
+    TW, DW = 128, 8
+
+    def kernw(p0_ref, y_hbm, out_ref, sem):
+        def start(t):
+            p0 = pl.multiple_of(p0_ref[t], 8)
+            return pltpu.make_async_copy(
+                y_hbm.at[pl.ds(p0, J), :],
+                out_ref.at[pl.ds(t * J, J), :],
+                sem.at[t % DW],
+            )
+
+        def body(t, _):
+            @pl.when(t >= DW)
+            def _():
+                start(t - DW).wait()
+            start(t).start()
+            return 0
+
+        jax.lax.fori_loop(0, TW, body, 0)
+
+        def drain(t, _):
+            start(t).wait()
+            return 0
+
+        jax.lax.fori_loop(TW - DW, TW, drain, 0)
+
+    gather_w = pl.pallas_call(
+        kernw,
+        grid=(B2 // TW,),
+        in_specs=[
+            pl.BlockSpec((TW,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((TW * J, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B2 * J, H), yt.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((DW,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    @jax.jit
+    def g_window_pallas(p0):
+        return jnp.sum(gather_w(p0, yt).astype(jnp.float32))
+
+    @jax.jit
+    def g_window_xla(pos0):
+        pos = pos0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (B2, K2), 1)
+        return jnp.sum(yt[pos].astype(jnp.float32))
+
+    gbw = B2 * K2 * H * 2 / 1e9
+    t = timeit(g_window_xla, jnp.asarray(pos0_np))
+    print(f"window_xla {t:7.2f} ms  {gbw / (t / 1e3):6.1f} GB/s", flush=True)
+    try:
+        t = timeit(g_window_pallas, jnp.asarray(p0_np))
+        gbj = B2 * J * H * 2 / 1e9
+        print(f"window_dma {t:7.2f} ms  {gbj / (t / 1e3):6.1f} GB/s "
+              f"({4096} DMAs x {J*H*2//1024} KB)", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"window_dma FAILED: {type(e).__name__}: {e}", flush=True)
+
     # ---- sorted one-hot MXU gather ----------------------------------------
     # sorted idx tile of TS rows spans a narrow id range; stream the x block
     # covering that range and select rows with a one-hot matmul on the MXU.
     # Block width W must cover the worst tile span: with uniform random ids,
     # span(TS=512 of M=262k sorted draws over N=235k) ~ 512*(N/M) * safety.
-    TS, W = 512, 2048
+    TS, W = 512, 2304  # W covers worst tile span + 16-row base alignment
 
     def kern2(base_ref, idx_ref, x_hbm, out_ref, xb, sem):
-        base = base_ref[pl.program_id(0)]
+        base = pl.multiple_of(base_ref[pl.program_id(0)], 16)
         copy = pltpu.make_async_copy(x_hbm.at[pl.ds(base, W)], xb, sem)
         copy.start()
         lane = jax.lax.broadcasted_iota(jnp.int32, (TS, W), 1)
@@ -147,8 +216,8 @@ def main():
         )
 
     base_np = np.minimum(
-        np.sort(idx_np)[::TS].astype(np.int32), N - W
-    )  # per-tile block base
+        (np.sort(idx_np)[::TS].astype(np.int32) // 16) * 16, N - W
+    )  # per-tile block base, 16-row aligned for the HBM slice
     span = (np.sort(idx_np).reshape(-1, TS)[:, -1] - base_np).max()
     print(f"onehot tile span max {span} (W={W})", flush=True)
     if span < W:
