@@ -103,5 +103,9 @@ class GCNEncoder(nn.Module):
                 jkx.append(x)
         if self.jk:
             stacked = jnp.stack(jkx, 0)
-            x = jnp.sum(stacked * jkparams[:, None, None], axis=0)
+            # keep activations in the layer dtype: the f32 jkparams would
+            # otherwise promote h to f32 and double every downstream
+            # gather's HBM traffic (f32 is still used for the weighted sum)
+            x = jnp.sum(stacked * jkparams[:, None, None], axis=0).astype(
+                jkx[0].dtype)
         return x

@@ -480,10 +480,20 @@ def _frame_matmul_multi_window(x, y, pos, ids, vals, perm, seg, n_nodes):
     Gradient routing: out depends on x only through y; callers MUST pass y
     built from stop_gradient(x) so the full, exact cotangent flows through
     this VJP's dx (the sorted-segment formulation, reusing the FrameIndex
-    sort) and zero flows through y."""
-    rows = y[pos]  # (B, K, H) — contiguous window slices
+    sort) and zero flows through y.
+
+    ``pos`` must be contiguous windows (pos[b, k] == pos[b, 0] + k — the
+    "window" sampling mode, the only one the trainer uses); the rows are
+    fetched by the Pallas window-DMA kernel (one copy per window) with the
+    8-row start alignment absorbed by shifting the VALUE planes, not the
+    feature rows (ops/pallas/window_gather.py)."""
+    from ocn_tpu.ops.pallas.window_gather import SLACK, pad_vals, window_rows
+
+    k = pos.shape[-1]
+    rows, off = window_rows(y, pos[:, 0], k)  # (B, J, H)
+    vals_pad = pad_vals(vals, off, k + SLACK)  # (P, B, J)
     return jnp.einsum(
-        "pbk,bkh->pbh", vals, rows, preferred_element_type=jnp.float32
+        "pbj,bjh->pbh", vals_pad, rows, preferred_element_type=jnp.float32
     ).astype(x.dtype)
 
 
@@ -493,6 +503,8 @@ def _frame_matmul_multi_window_fwd(x, y, pos, ids, vals, perm, seg, n_nodes):
 
 
 def _frame_matmul_multi_window_bwd(n_nodes, res, dout):
+    from ocn_tpu.ops.pallas.window_gather import window_rows
+
     x, y, pos, vals, perm, seg = res
     p, b, k = vals.shape
     coef = jnp.einsum("pbk,pbh->bkh", vals, dout.astype(jnp.float32))
@@ -500,9 +512,15 @@ def _frame_matmul_multi_window_bwd(n_nodes, res, dout):
     dx = jax.ops.segment_sum(
         contrib, seg, num_segments=n_nodes, indices_are_sorted=True
     ).astype(x.dtype)
-    rows = y[pos]  # windowed re-gather (fast)
-    dvals = jnp.einsum(
-        "bkh,pbh->pbk", rows, dout, preferred_element_type=jnp.float32
+    # dvals is mathematically dead in OCN (CN values never reach params);
+    # computed for VJP completeness, DCE'd by XLA when unused.
+    rows, off = window_rows(y, pos[:, 0], k)
+    dvals_pad = jnp.einsum(
+        "bjh,pbh->pbj", rows, dout, preferred_element_type=jnp.float32
+    )
+    klane = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1) + off[:, None]
+    dvals = jnp.take_along_axis(
+        dvals_pad, jnp.broadcast_to(klane[None], (p, b, k)), axis=2
     ).astype(vals.dtype)
     return dx, None, None, None, dvals, None, None
 

@@ -127,6 +127,18 @@ def load() -> Optional[_GraphCore]:
     path = os.path.join(here, "native", "libgraphcore.so")
     if os.environ.get("OCN_TPU_NO_NATIVE"):
         return None
+    if not os.path.exists(path):
+        # .so is a build artifact (gitignored); build it on first use so a
+        # fresh checkout never silently falls into the slow NumPy fallbacks
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(here, "native")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
     if os.path.exists(path):
         try:
             _LIB = _GraphCore(ctypes.CDLL(path))

@@ -120,8 +120,10 @@ def main():
     TW, DW = 128, 8
 
     def kernw(p0_ref, y_hbm, out_ref, sem):
+        base_t = pl.program_id(0) * TW
+
         def start(t):
-            p0 = pl.multiple_of(p0_ref[t], 8)
+            p0 = pl.multiple_of(p0_ref[base_t + t], 8)
             return pltpu.make_async_copy(
                 y_hbm.at[pl.ds(p0, J), :],
                 out_ref.at[pl.ds(t * J, J), :],
@@ -147,7 +149,7 @@ def main():
         kernw,
         grid=(B2 // TW,),
         in_specs=[
-            pl.BlockSpec((TW,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B2,) starts
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((TW * J, H), lambda i: (i, 0),
@@ -158,19 +160,19 @@ def main():
     )
 
     @jax.jit
-    def g_window_pallas(p0):
-        return jnp.sum(gather_w(p0, yt).astype(jnp.float32))
+    def g_window_pallas(p0, ytab):
+        return jnp.sum(gather_w(p0, ytab).astype(jnp.float32))
 
     @jax.jit
-    def g_window_xla(pos0):
+    def g_window_xla(pos0, ytab):
         pos = pos0[:, None] + jax.lax.broadcasted_iota(jnp.int32, (B2, K2), 1)
-        return jnp.sum(yt[pos].astype(jnp.float32))
+        return jnp.sum(ytab[pos].astype(jnp.float32))
 
     gbw = B2 * K2 * H * 2 / 1e9
-    t = timeit(g_window_xla, jnp.asarray(pos0_np))
+    t = timeit(g_window_xla, jnp.asarray(pos0_np), yt)
     print(f"window_xla {t:7.2f} ms  {gbw / (t / 1e3):6.1f} GB/s", flush=True)
     try:
-        t = timeit(g_window_pallas, jnp.asarray(p0_np))
+        t = timeit(g_window_pallas, jnp.asarray(p0_np), yt)
         gbj = B2 * J * H * 2 / 1e9
         print(f"window_dma {t:7.2f} ms  {gbj / (t / 1e3):6.1f} GB/s "
               f"({4096} DMAs x {J*H*2//1024} KB)", flush=True)
