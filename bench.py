@@ -44,7 +44,7 @@ def main():
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
         frame_group=group,
-        window_table=os.environ.get("OCN_BENCH_WINDOW", "1") == "1",
+        window_table=os.environ.get("OCN_BENCH_WINDOW", "0") == "1",
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
     )
     ds = synthetic_dataset("collab", seed=0, scale=scale)

@@ -92,17 +92,22 @@ class Config:
                                      # ground between per-chunk and hoisted
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     adj3_cap: int = 256              # A^3 row cap (cn6 "gather" fast path)
-    window_table: bool = True        # hoist y = stop_grad(h)[g.col] and read
+    window_table: bool = False       # hoist y = stop_grad(h)[g.col] and read
                                      # frame rows as contiguous CSR window
                                      # slices via the Pallas window-DMA
-                                     # kernel (one 36 KB copy per window:
-                                     # 1.9 ms vs 4.5 ms XLA random gather per
-                                     # 4096x64 chunk).  On CPU (tests) the
-                                     # XLA fallback is bit-identical; XLA
-                                     # alone lowers y[pos] as a random gather
-                                     # (measured 87.2k -> 74.1k edges/s), so
-                                     # OCN_TPU_NO_WINDOW_KERNEL=1 should be
-                                     # paired with window_table=False on TPU.
+                                     # kernel (one 36 KB copy per window).
+                                     # The kernel microbenches 2.4x faster
+                                     # than the XLA random gather (1.9 vs
+                                     # 4.5 ms per 4096x64 chunk) but loses
+                                     # ~8% END TO END (same-day A/B on chip:
+                                     # 67.8k vs 74.0k edges/s) — the hoisted
+                                     # y-table build (one E-row gather per
+                                     # step) + the (B, J, H) HBM round-trip
+                                     # of the kernel output eat the win — so
+                                     # it is OFF by default and kept as the
+                                     # opt-in hand-written reference point.
+                                     # On CPU the XLA fallback is
+                                     # bit-identical (tests cover it).
     cn2_counts: bool = False         # True => pygho-stack path-count values
     neg_mode: str = "uniform"        # "uniform": PyG negative_sampling non-
                                      # edges; "randint_target": keep sources,

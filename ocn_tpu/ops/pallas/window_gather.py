@@ -81,7 +81,12 @@ def _build(e: int, h: int, b: int, j: int, tw: int, dtype_name: str):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * j, h), dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((dw,))],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # no has_side_effects: the kernel's only effect is its declared
+        # output, and XLA must be free to DCE the *backward* pass's re-run
+        # (the VJP recomputes windows only to form dvals, which is dead in
+        # every window-path consumer — cn5/cn6/cn7 values never carry param
+        # gradients; with the side-effect flag the dead kernel call survived
+        # and doubled the per-chunk gather cost)
     )
 
 
