@@ -355,6 +355,32 @@ def _entry_col_sum_bwd(res, g):
 entry_col_sum.defvjp(_entry_col_sum_fwd, _entry_col_sum_bwd)
 
 
+@jax.custom_vjp
+def entry_col_sum_multi(vals: jax.Array, perm, rank, inv_perm) -> jax.Array:
+    """entry_col_sum over P stacked value planes sharing one id array:
+    vals (P, B, K) -> (P, B, K).  One sorted segment-sum pass with (M, P)
+    contributions instead of P sequential passes — the cn5 pipeline needs the
+    cn1 and cn2 column sums of the same chunk, and their gather/segment trips
+    batch for free.  Self-adjoint per plane, like entry_col_sum."""
+    p = vals.shape[0]
+    m = vals[0].size
+    sv = vals.reshape(p, -1)[:, perm].T  # (M, P)
+    sums = jax.ops.segment_sum(sv, rank, num_segments=m, indices_are_sorted=True)
+    return sums[rank][inv_perm].T.reshape(vals.shape)
+
+
+def _entry_col_sum_multi_fwd(vals, perm, rank, inv_perm):
+    return entry_col_sum_multi(vals, perm, rank, inv_perm), (perm, rank, inv_perm)
+
+
+def _entry_col_sum_multi_bwd(res, g):
+    perm, rank, inv_perm = res
+    return entry_col_sum_multi(g, perm, rank, inv_perm), None, None, None
+
+
+entry_col_sum_multi.defvjp(_entry_col_sum_multi_fwd, _entry_col_sum_multi_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _frame_matmul(x, ids, val, n_nodes):
     rows = x[jnp.minimum(ids, n_nodes - 1)]  # (B, K, H)

@@ -104,8 +104,54 @@ def orthogonalize(
 ) -> Tuple[CNFrame, CNFrame, jax.Array, jax.Array]:
     """Full cn5 pipeline: normalize -> EMA inner product -> Gram-Schmidt ->
     renormalize (model.py:2261-2423).  Returns (ncn1, ocn2, new_ema, new_n).
-    ``fidx`` (valid for frames sharing cn1.ids) routes both column sums
-    through the chunk's shared sorted-domain index."""
+
+    With ``fidx`` (valid for frames sharing cn1.ids) the whole pipeline needs
+    ONE sorted-domain pass: the cn1/cn2 column sums batch into a single
+    two-plane `entry_col_sum_multi`, and the post-projection column sum is an
+    elementwise identity of the two —
+
+        colsum(cn2 - nip*ncn1) = colsum(cn2) - nip * inv1(colsum(cn1)) * colsum(cn1)
+
+    because the Gram-Schmidt coefficient and the per-column normalizer are
+    constant within a column (reassociation-only float difference).  That
+    replaces three segment-sum round trips (+ their VJPs) per chunk by one."""
+    if fidx is not None:
+        from ocn_tpu.ops.frame import entry_col_sum_multi
+
+        # The post-GS column sum is taken over the union pattern in the
+        # direct path (`where(union, ..., 0)` before the segment sum), which
+        # zeroes GRADIENTS at lanes absent from both frames even though the
+        # values there are 0 either way.  Masking the two GS-sum planes by the
+        # raw pattern union reproduces those gradients exactly: wherever the
+        # raw and effective unions differ (quirk columns, inv1 == 0) the
+        # leaked term carries a factor inv1 == 0.
+        u0 = (cn1.val != 0) | (cn2.val != 0)
+        es = entry_col_sum_multi(
+            jnp.stack([
+                cn1.val,
+                jnp.where(u0, cn2.val, 0.0),
+                jnp.where(u0, cn1.val, 0.0),
+            ]),
+            fidx.perm, fidx.rank, fidx.inv_perm,
+        )
+        es1, es2u, es1u = es[0], es[1], es[2]
+        # colnorm_quirk on cn1 (model.py:2261-2272)
+        s_rep = jnp.where(es1 == 0, 1.0, es1)
+        inv1 = jnp.where(s_rep != 1, 1.0 / s_rep, empty_fill)
+        ncn1 = cn1.with_values(cn1.val * inv1)
+        inner, new_ema, new_n = ema_inner_product(cn2, ncn1, ema, n, training)
+        # gram_schmidt (model.py:2343-2391)
+        scale = jnp.max(jnp.abs(ncn1.val))
+        nip = jnp.where(scale > 0, inner / scale, inner)
+        union = cn2.mask | ncn1.mask
+        val_o = jnp.where(union, cn2.val - nip * ncn1.val, 0.0)
+        # colnorm_plain on the projected frame (model.py:2405-2413), algebraic:
+        # colsum(cn2 - nip*ncn1) = colsum(cn2) - nip*inv1*colsum(cn1) because
+        # nip and the per-column inv1 are constant within a column
+        es_o = es2u - nip * (inv1 * es1u)
+        inv2 = 1.0 / jnp.where(es_o == 0, 1.0, es_o)
+        ocn2 = cn2.with_values(val_o * inv2)
+        return ncn1, ocn2, new_ema, new_n
     ncn1 = colnorm_quirk(cn1, empty_fill, fidx)
     inner, new_ema, new_n = ema_inner_product(cn2, ncn1, ema, n, training)
     ocn2 = gram_schmidt(cn2, ncn1, inner)

@@ -243,34 +243,42 @@ def test_frame_index_entry_col_sum(rng):
 
 
 def test_orthogonalize_fidx_matches_plain(rng):
-    """The sorted-domain (fidx) pipeline must be bit-equivalent to the
-    n_nodes-domain one, values and gradients."""
+    """The sorted-domain (fidx) pipeline — fused 3-plane column sums and the
+    algebraic post-GS renormalization — must match the n_nodes-domain one,
+    values and gradients.  Run in float64 so the check is semantic: in fp32
+    the reassociated colsum differs by cancellation noise inside 1/colsum,
+    which is exactly what this test must NOT hide behind a loose tolerance."""
     from ocn_tpu.ops.frame import frame_index, matmul_shared
 
     n, b, k, h = 41, 8, 5, 8
-    ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
-    v1 = jnp.where(ids == n, 0.0, jnp.asarray(rng.random((b, k)), jnp.float32))
-    v2 = jnp.where(ids == n, 0.0,
-                   jnp.asarray((rng.random((b, k)) > 0.4).astype(np.float32)))
-    x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
-    ema = jnp.asarray(0.3)
-    nn_ = jnp.asarray(2, jnp.int32)
-    fidx = frame_index(ids, n)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
+        v1 = jnp.where(ids == n, 0.0, jnp.asarray(rng.random((b, k)), jnp.float64))
+        v2 = jnp.where(ids == n, 0.0,
+                       jnp.asarray((rng.random((b, k)) > 0.4).astype(np.float64)))
+        x = jnp.asarray(rng.standard_normal((n, h)), jnp.float64)
+        ema = jnp.asarray(0.3)
+        nn_ = jnp.asarray(2, jnp.int32)
+        fidx = frame_index(ids, n)
 
-    def run(w1, w2, xx, use_fidx):
-        c1, c2 = CNFrame(ids, w1, n), CNFrame(ids, w2, n)
-        ncn1, ocn2, e2, n2 = ortho.orthogonalize(
-            c1, c2, ema, nn_, True, 0.0, fidx if use_fidx else None)
-        o1, o2 = matmul_shared([ncn1, ocn2], xx, fidx if use_fidx else None)
-        return jnp.sum(o1 ** 2) + jnp.sum(o2) + e2
+        def run(w1, w2, xx, use_fidx):
+            c1, c2 = CNFrame(ids, w1, n), CNFrame(ids, w2, n)
+            ncn1, ocn2, e2, n2 = ortho.orthogonalize(
+                c1, c2, ema, nn_, True, 0.0, fidx if use_fidx else None)
+            o1, o2 = matmul_shared([ncn1, ocn2], xx, fidx if use_fidx else None)
+            return jnp.sum(o1 ** 2) + jnp.sum(o2) + e2
 
-    for a, b_ in zip(
-        jax.grad(lambda *a_: run(*a_, True), argnums=(0, 1, 2))(v1, v2, x),
-        jax.grad(lambda *a_: run(*a_, False), argnums=(0, 1, 2))(v1, v2, x),
-    ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(
-        float(run(v1, v2, x, True)), float(run(v1, v2, x, False)), rtol=1e-5)
+        for a, b_ in zip(
+            jax.grad(lambda *a_: run(*a_, True), argnums=(0, 1, 2))(v1, v2, x),
+            jax.grad(lambda *a_: run(*a_, False), argnums=(0, 1, 2))(v1, v2, x),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            float(run(v1, v2, x, True)), float(run(v1, v2, x, False)), rtol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_window_matmul_matches_gather(rng):
