@@ -74,6 +74,13 @@ class NeighborFrame:
         return self.ids.shape[-1]
 
 
+def _window_slice(arr: jax.Array, pos0: jax.Array, k: int) -> jax.Array:
+    """Gather (B, k) contiguous windows of a 1-D array starting at ``pos0``
+    (already clamped to <= len(arr) - k) as a slice-gather: one gather issue
+    per row rather than one per element."""
+    return jax.vmap(lambda s: jax.lax.dynamic_slice(arr, (s,), (k,)))(pos0)
+
+
 def gather_neighbors(
     g: Graph,
     nodes: jax.Array,
@@ -122,12 +129,14 @@ def gather_neighbors(
         else:
             woff = jnp.zeros_like(deg)
         pos0 = jnp.minimum(start + woff, jnp.maximum(g.col.shape[0] - k, 0))
-        # elementwise flat gather of the window positions: measured ~15x
-        # faster on TPU than vmapped dynamic_slice for these shapes (XLA's
-        # flat gather tiles well; per-row slice-gathers do not)
         pos = pos0[:, None] + lane
-        ids = g.col[pos]
-        vals = g.val[pos]
+        # window reads lower as a slice-gather (vmapped dynamic_slice -> one
+        # gather issue of k contiguous elements per row) instead of the flat
+        # elementwise gather (k issues per row).  Measured on chip at
+        # (4096, 64): adj 3.1 -> 1.5 ms, adj2 (15M-entry operand) 7.1 -> ~2x
+        # (scripts/profile_winslice.py, BENCH_NOTES.md).
+        ids = _window_slice(g.col, pos0, k)
+        vals = _window_slice(g.val, pos0, k)
         w = jnp.where(valid, w_row[:, None] * vals, 0.0)
         # invalid suffix lanes read into the next CSR row; sentinel-ize them so
         # rows stay ascending for the searchsorted membership fallback
