@@ -135,8 +135,14 @@ def gather_neighbors(
         # elementwise gather (k issues per row).  Measured on chip at
         # (4096, 64): adj 3.1 -> 1.5 ms, adj2 (15M-entry operand) 7.1 -> ~2x
         # (scripts/profile_winslice.py, BENCH_NOTES.md).
-        ids = _window_slice(g.col, pos0, k)
-        vals = _window_slice(g.val, pos0, k)
+        if g.packed is not None:
+            # one slice carrying col|val (csr.py): half the gather bytes
+            pk = _window_slice(g.packed, pos0, k)
+            ids = jnp.bitwise_and(pk, (1 << g.col_bits) - 1)
+            vals = jnp.right_shift(pk, g.col_bits).astype(jnp.float32)
+        else:
+            ids = _window_slice(g.col, pos0, k)
+            vals = _window_slice(g.val, pos0, k)
         w = jnp.where(valid, w_row[:, None] * vals, 0.0)
         # invalid suffix lanes read into the next CSR row; sentinel-ize them so
         # rows stay ascending for the searchsorted membership fallback
@@ -504,6 +510,59 @@ _frame_matmul_multi_prep.defvjp(
 )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _frame_matmul_multi_saverows(x, ids, vals, perm, seg, rowidx, n_nodes):
+    """_frame_matmul_multi_prep variant that keeps the forward's (B, K, H)
+    row gather alive as a VJP residual instead of re-gathering in backward.
+    The gather is the measured bottleneck (~30 GB/s random-row bound,
+    BENCH_NOTES.md) while re-reading a resident buffer rides the sequential
+    HBM roofline; cost is the residual memory (B*K*H, one per link chunk
+    across the scan).  Opt-in via OCN_TPU_SAVE_ROWS=1."""
+    rows = x[jnp.minimum(ids, n_nodes - 1)]
+    return jnp.einsum(
+        "pbk,bkh->pbh", vals, rows, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _frame_matmul_multi_saverows_fwd(x, ids, vals, perm, seg, rowidx, n_nodes):
+    rows = x[jnp.minimum(ids, n_nodes - 1)]
+    out = jnp.einsum(
+        "pbk,bkh->pbh", vals, rows, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return out, (rows, jnp.zeros((0,), x.dtype), vals, perm, seg)
+
+
+def _frame_matmul_multi_saverows_bwd(n_nodes, res, dout):
+    rows, xproto, vals, perm, seg = res
+    xdtype = xproto.dtype
+    b, k = vals.shape[1], vals.shape[2]
+    coef = jnp.einsum("pbk,pbh->bkh", vals, dout.astype(jnp.float32))
+    contrib = coef.reshape(b * k, -1)[perm]
+    dx = jax.ops.segment_sum(
+        contrib, seg, num_segments=n_nodes, indices_are_sorted=True
+    ).astype(xdtype)
+    dvals = jnp.einsum(
+        "bkh,pbh->pbk", rows, dout, preferred_element_type=jnp.float32
+    ).astype(vals.dtype)
+    return dx, None, dvals, None, None, None
+
+
+_frame_matmul_multi_saverows.defvjp(
+    _frame_matmul_multi_saverows_fwd, _frame_matmul_multi_saverows_bwd
+)
+
+_SAVE_ROWS: Optional[bool] = None
+
+
+def _use_save_rows() -> bool:
+    global _SAVE_ROWS
+    if _SAVE_ROWS is None:
+        import os
+
+        _SAVE_ROWS = os.environ.get("OCN_TPU_SAVE_ROWS") not in (None, "0", "")
+    return _SAVE_ROWS
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _frame_matmul_multi_window(x, y, pos, ids, vals, perm, seg, n_nodes):
     """Window-table frame matmul: the candidate ids of a chunk are contiguous
@@ -584,7 +643,8 @@ def matmul_shared(
             x, y, pos, ids, vals, fidx.perm, fidx.seg, frames[0].n_nodes
         )
     elif fidx is not None:
-        out = _frame_matmul_multi_prep(
+        fn = _frame_matmul_multi_saverows if _use_save_rows() else _frame_matmul_multi_prep
+        out = fn(
             x, ids, vals, fidx.perm, fidx.seg, fidx.rowidx, frames[0].n_nodes
         )
     else:

@@ -59,17 +59,26 @@ class Graph:
     # Exists for symmetric patterns (all OCN graphs); lets the SpMM backward
     # run as a SORTED segment-sum instead of a scatter (ops/spmm.py).
     tpos: Optional[jax.Array] = None
+    # packed[e] = col[e] | (int(val[e]) << col_bits): one int32 carrying both
+    # the column id and the (small non-negative integer) value, so neighbor
+    # window gathers (ops/frame.py) read ONE array instead of two — half the
+    # bytes on the A^2 table, the largest gather operand of the cn5 step
+    # (BENCH_NOTES.md).  Built only for graphs whose values are integral and
+    # fit the spare bits; any value mutation drops it (see with_values).
+    packed: Optional[jax.Array] = None
+    col_bits: int = 0
 
     # -- pytree plumbing (n_nodes is static aux data) ------------------------
     def tree_flatten(self):
         return (
             self.indptr, self.col, self.row, self.val, self.deg, self.tpos,
-        ), (self.n_nodes,)
+            self.packed,
+        ), (self.n_nodes, self.col_bits)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        indptr, col, row, val, deg, tpos = children
-        return cls(indptr, col, row, val, deg, aux[0], tpos)
+        indptr, col, row, val, deg, tpos, packed = children
+        return cls(indptr, col, row, val, deg, aux[0], tpos, packed, aux[1])
 
     # -- basic properties ----------------------------------------------------
     @property
@@ -77,7 +86,8 @@ class Graph:
         return self.col.shape[0]
 
     def with_values(self, val: jax.Array) -> "Graph":
-        return dataclasses.replace(self, val=val)
+        # value mutation invalidates the packed col|val array
+        return dataclasses.replace(self, val=val, packed=None, col_bits=0)
 
     def ones_values(self) -> "Graph":
         return self.with_values(jnp.ones_like(self.val))
@@ -148,6 +158,18 @@ def graph_from_numpy(
     row = np.concatenate([row, np.full(pad, max(n_nodes - 1, 0), np.int32)])
     val = np.concatenate([np.asarray(val, np.float32), np.zeros(pad, np.float32)])
     tpos = np.concatenate([tpos, np.arange(nnz, nnz + pad, dtype=np.int32)])
+    # pack col|val into one int32 when values are small non-negative integers
+    # (A^2/A^3 path counts, unit adjacency): halves neighbor-gather traffic.
+    # Consumers that mutate values get `packed` dropped via with_values.
+    packed = None
+    col_bits = 0
+    vi = val.astype(np.int64)
+    if val.size and np.all(val == vi) and vi.min() >= 0:
+        col_bits = max(int(n_nodes - 1).bit_length(), 1)
+        if vi.max() < (1 << (31 - col_bits)):
+            packed = (col.astype(np.int64) | (vi << col_bits)).astype(np.int32)
+        else:
+            col_bits = 0
     return Graph(
         indptr=jnp.asarray(indptr),
         col=jnp.asarray(col),
@@ -156,4 +178,6 @@ def graph_from_numpy(
         deg=jnp.asarray(deg),
         n_nodes=int(n_nodes),
         tpos=jnp.asarray(tpos) if pattern_symmetric else None,
+        packed=jnp.asarray(packed) if packed is not None else None,
+        col_bits=col_bits,
     )

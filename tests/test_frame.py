@@ -217,6 +217,65 @@ def test_matmul_shared_matches_individual(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
 
 
+def test_matmul_saverows_matches_prep(rng):
+    """The rows-residual VJP (OCN_TPU_SAVE_ROWS path) must equal the
+    recompute-in-backward one exactly — same math, different residual set."""
+    import jax
+
+    from ocn_tpu.ops.frame import (
+        _frame_matmul_multi_prep,
+        _frame_matmul_multi_saverows,
+        frame_index,
+    )
+
+    n, b, k, h, p = 40, 6, 4, 8, 2
+    ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
+    vals = jnp.asarray(rng.random((p, b, k)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    fidx = frame_index(ids, n)
+
+    def loss(fn, xx, vv):
+        out = fn(xx, ids, vv, fidx.perm, fidx.seg, fidx.rowidx, n)
+        return jnp.sum(out ** 2)
+
+    o0 = _frame_matmul_multi_prep(x, ids, vals, fidx.perm, fidx.seg, fidx.rowidx, n)
+    o1 = _frame_matmul_multi_saverows(x, ids, vals, fidx.perm, fidx.seg, fidx.rowidx, n)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-6)
+    g0 = jax.grad(lambda xx, vv: loss(_frame_matmul_multi_prep, xx, vv), (0, 1))(x, vals)
+    g1 = jax.grad(lambda xx, vv: loss(_frame_matmul_multi_saverows, xx, vv), (0, 1))(x, vals)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6)
+
+
+def test_gather_packed_matches_unpacked(rng):
+    """Graphs with small-integer values carry a packed col|val array
+    (csr.py); the one-slice decode path must equal the two-slice one."""
+    import jax
+
+    from ocn_tpu.ops.frame import gather_neighbors
+    from ocn_tpu.sparse.csr import graph_from_numpy
+
+    n = 50
+    deg = rng.integers(0, 12, n)
+    ip = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    col = rng.integers(0, n, ip[-1]).astype(np.int32)
+    col = np.concatenate(
+        [np.sort(col[ip[i]:ip[i + 1]]) for i in range(n)]) if ip[-1] else col
+    val = rng.integers(1, 9, ip[-1]).astype(np.float32)
+    g = graph_from_numpy(ip, col, n, val)
+    assert g.packed is not None
+    gu = g.with_values(g.val)  # drops packed, values unchanged
+    assert gu.packed is None
+    nodes = jnp.asarray(rng.integers(0, n, 16), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    for k in (4, 8):
+        a = gather_neighbors(g, nodes, k, key)
+        b = gather_neighbors(gu, nodes, k, key)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w))
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
 def test_frame_index_entry_col_sum(rng):
     """entry_col_sum == N-domain col_sum gathered at each entry's id, and its
     self-adjoint VJP matches autodiff of the naive formulation."""
