@@ -101,8 +101,18 @@ class Graph:
         a new SparseTensor per batch, scatter zeros at the (i->j, j->i) nnz
         positions of the masked edges.  ``positions`` typically comes from
         ``edge2pos[perm].ravel()``.
+
+        The packed col|val array survives masking: only the VALUE bits of the
+        masked entries are cleared (keeping the column id), so per-row id
+        ascending order — which the searchsorted membership fallback relies
+        on — is preserved exactly like the plain val scatter.
         """
-        return self.with_values(self.val.at[positions].set(0.0))
+        out = dataclasses.replace(self, val=self.val.at[positions].set(0.0))
+        if self.packed is not None:
+            cleared = self.packed[positions] & ((1 << self.col_bits) - 1)
+            out = dataclasses.replace(
+                out, packed=self.packed.at[positions].set(cleared))
+        return out
 
     def drop_edges(self, key: jax.Array, p: float, doscale: bool = True) -> "Graph":
         """Value-space DropAdj (reference model.py:211-229).

@@ -275,6 +275,16 @@ def test_gather_packed_matches_unpacked(rng):
         np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w))
         np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
 
+    # maskinput: packed survives mask_edges (value bits cleared, ids kept)
+    if int(ip[-1]) >= 4:
+        posn = jnp.asarray(rng.choice(int(ip[-1]), 4, replace=False), jnp.int32)
+        gm, gum = g.mask_edges(posn), gu.mask_edges(posn)
+        assert gm.packed is not None
+        am = gather_neighbors(gm, nodes, 8, key)
+        bm = gather_neighbors(gum, nodes, 8, key)
+        np.testing.assert_array_equal(np.asarray(am.ids), np.asarray(bm.ids))
+        np.testing.assert_allclose(np.asarray(am.w), np.asarray(bm.w))
+
 
 def test_frame_index_entry_col_sum(rng):
     """entry_col_sum == N-domain col_sum gathered at each entry's id, and its
