@@ -555,11 +555,14 @@ _SAVE_ROWS: Optional[bool] = None
 
 
 def _use_save_rows() -> bool:
+    """Default ON (part of the measured +9% step win, BENCH_NOTES.md);
+    OCN_TPU_SAVE_ROWS=0 restores the recompute-in-backward VJP (lower
+    residual memory: one (B, K, H) buffer per link chunk)."""
     global _SAVE_ROWS
     if _SAVE_ROWS is None:
         import os
 
-        _SAVE_ROWS = os.environ.get("OCN_TPU_SAVE_ROWS") not in (None, "0", "")
+        _SAVE_ROWS = os.environ.get("OCN_TPU_SAVE_ROWS") not in ("0", "false", "")
     return _SAVE_ROWS
 
 
