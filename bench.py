@@ -44,6 +44,7 @@ def main():
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
         frame_group=group,
+        k_small=int(os.environ.get("OCN_BENCH_KSMALL", "16")),
         window_table=os.environ.get("OCN_BENCH_WINDOW", "0") == "1",
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
     )
@@ -69,33 +70,25 @@ def main():
     # timed region): the tunnel's 44-64 MB/s host->device link would otherwise
     # serialize ~1.3 MB + a dispatch per step into the measurement; a real
     # input pipeline overlaps these copies with compute
-    e2p = np.asarray(tr.edge2pos) if tr.edge2pos is not None else None
     batches = []
     for i in range(max(1, steps)):
         idx = perm[(i % max(1, len(perm) // batch)) * batch :][:batch]
         if len(idx) < batch:
             idx = perm[:batch]
-        mp = None
-        if e2p is not None:
-            mp = jnp.asarray(
-                np.maximum(e2p[idx].reshape(-1), 0).astype(np.int32))
-        batches.append((
-            jnp.asarray(pos[:, idx].astype(np.int32)),
-            jnp.asarray(neg[:, idx].astype(np.int32)),
-            mp,
-            jax.random.fold_in(key, i),
-        ))
+        pe, ne, mp, inv_p, inv_n = tr.prepare_batch(
+            pos[:, idx], neg[:, idx], idx)
+        batches.append((pe, ne, mp, jax.random.fold_in(key, i), inv_p, inv_n))
     jax.block_until_ready(batches)
 
     # warmup / compile
-    pe, ne, mp, k0 = batches[0]
-    state, loss = tr.train_step(state, pe, ne, mp, key)
+    pe, ne, mp, k0, inv_p, inv_n = batches[0]
+    state, loss = tr.train_step(state, pe, ne, mp, key, inv_p, inv_n)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     done = 0
-    for pe, ne, mp, ki in batches[:steps]:
-        state, loss = tr.train_step(state, pe, ne, mp, ki)
+    for pe, ne, mp, ki, inv_p, inv_n in batches[:steps]:
+        state, loss = tr.train_step(state, pe, ne, mp, ki, inv_p, inv_n)
         done += 2 * batch  # pos + neg links scored per step
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0

@@ -79,6 +79,13 @@ class Config:
     # TPU-native knobs (no reference counterpart)
     pad_deg: int = 64                # candidate-frame width K (neighbor cap)
     pad_deg2: int = 64               # cap for dst/candidate neighbor lists (K2)
+    pad_deg2_dst: int = 0            # separate cap for the dst frame N(j) in
+                                     # "gather" two-hop mode (only the cn1
+                                     # membership reads it there; 96% of
+                                     # collab edge destinations have degree
+                                     # <= 16 while A^2 rows are fat, so a
+                                     # smaller dst cap removes mostly-padding
+                                     # gathers/compares).  0 = use pad_deg2.
     count2_chunk: int = 4096         # edge chunk for on-the-fly A^2 counts
     two_hop_mode: str = "gather"     # "gather": precomputed row-capped A^2;
                                      # "sddmm": on-the-fly exact counts
@@ -117,6 +124,27 @@ class Config:
     reorder: str = "bfs"             # node relabeling for gather locality:
                                      # "bfs" (+9% measured on chip) | "none";
                                      # metrics are relabel-invariant
+    k_small: int = 0                 # dual-K occupancy split: when > 0, each
+                                     # training batch is sorted by source
+                                     # degree (host-side, pairing restored by
+                                     # inverse permutation before the loss)
+                                     # and the link scan runs as TWO bodies —
+                                     # low-degree chunks at frame width
+                                     # k_small, the tail at pad_deg.  At K=64
+                                     # the collab pos-src frames are only 29%
+                                     # occupied and negative frames 8.6%
+                                     # (BENCH_NOTES.md), so most frame math is
+                                     # padding; k_small=16 fits 66% of pos
+                                     # sources / 97% of neg sources exactly.
+                                     # Edges that spill a small chunk get the
+                                     # framework's standard deg/k reweighted
+                                     # cap (unbiased; reference concedes caps
+                                     # via cndeg, utils.py:109-143). 0 = off.
+    small_frac: float = -1.0         # fraction of positive chunks in the
+                                     # small body; < 0 = auto from the train-
+                                     # edge source-degree distribution
+    small_frac_neg: float = -1.0     # same for negative chunks; < 0 = auto
+                                     # from the node-degree distribution
     sort_batch: bool = False         # sort each training batch by source id
                                      # (pairing-preserving); measured neutral
                                      # on chip (87.1k vs 87.2k edges/s) - the

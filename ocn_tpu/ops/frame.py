@@ -668,6 +668,7 @@ def cn_frames(
     with_src: bool = False,
     adj2: Optional[Graph] = None,
     self_corr: Optional[jax.Array] = None,
+    k2_dst: Optional[int] = None,
 ):
     """Build cn1 (and optionally cn2) frames for target edges ``tar_ei`` (2, B).
 
@@ -686,11 +687,18 @@ def cn_frames(
     k2 caps the neighbor lists of j and of the candidates; count2 work is
     chunked over the batch when ``count2_chunk`` > 0 to bound the (chunk, K,
     K2) gather footprint.
+
+    ``k2_dst``: separate (usually smaller) cap for the dst frame N(j) in the
+    precomputed-A^2 "gather" mode, where N(j) only feeds the cn1 membership —
+    on collab-scale graphs 96% of edge destinations have degree <= 16 while
+    A^2 rows are fat, so the two caps deserve different widths.  Ignored on
+    the SDDMM path (there N(j) anchors the exact 2-hop counts).
     """
     k2 = k2 or k
     keys = jax.random.split(key, 3) if key is not None else (None, None, None)
     src = gather_neighbors(g, tar_ei[0], k, keys[0])
-    dst = gather_neighbors(g, tar_ei[1], k2, keys[1])
+    kd = k2_dst if (k2_dst and adj2 is not None and with_cn2) else k2
+    dst = gather_neighbors(g, tar_ei[1], kd, keys[1])
 
     # --- cn1: membership of candidates (N(i)) in N(j) ----------------------
     in_dst = _rowwise_membership(src.ids, dst.ids, dst.w)

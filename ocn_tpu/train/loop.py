@@ -23,7 +23,7 @@ Adam (NeighborOverlap_large.py:306-307) via optax.multi_transform.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -105,7 +105,7 @@ class Trainer:
         # maskinput support: train-edge -> nnz position map, once per dataset
         self.train_edges = np.asarray(ds.split_edge["train"]["edge"]).T  # (2, E)
         if cfg.maskinput:
-            self.edge2pos = jnp.asarray(
+            self.edge2pos = np.asarray(
                 B.edge_to_nnz_positions(
                     np.asarray(self.g.indptr), np.asarray(self.g.col),
                     self.train_edges,
@@ -114,7 +114,57 @@ class Trainer:
         else:
             self.edge2pos = None
 
+        self._deg_np = np.asarray(self.g.deg)
+        self._split = self._split_plan()
         self._build_steps()
+
+    def _split_plan(self):
+        """Static chunk counts (n_small_pos, n_small_neg) for the dual-K
+        occupancy split, or None when the split is off / unsupported.
+
+        The counts come from the host-side degree distribution: sorting each
+        batch by source degree concentrates the low-degree majority into the
+        leading chunks, so a STATIC boundary at the distribution quantile
+        routes almost exactly the deg <= k_small edges to the small body
+        (binomial batch-to-batch wobble is ~sqrt(b), i.e. a handful of edges
+        against a 4096-edge chunk; boundary spill gets the standard deg/k
+        reweighted cap)."""
+        cfg = self.cfg
+        if (
+            cfg.k_small <= 0
+            or cfg.k_small >= cfg.pad_deg
+            or not self.frame_based
+            or cfg.predictor in THREE_HOP
+            or cfg.hoist_frames
+            or cfg.dp_devices * cfg.tp_devices > 1
+        ):
+            return None
+        c = self._chunk()
+        nchunk = cfg.batch_size // c
+        deg = self._deg_np
+        if cfg.small_frac >= 0:
+            fp = cfg.small_frac
+        else:
+            fp = float(np.mean(deg[self.train_edges[0]] <= cfg.k_small))
+        if cfg.small_frac_neg >= 0:
+            fneg = cfg.small_frac_neg
+        elif cfg.neg_mode == "randint_target":
+            fneg = fp  # negatives keep the positive sources
+        else:
+            fneg = float(np.mean(deg <= cfg.k_small))
+        nsp = min(nchunk, int(fp * nchunk))
+        nsn = min(nchunk, int(fneg * nchunk))
+        grp = cfg.frame_group if cfg.frame_group > 1 else 1
+        # both scan bodies need whole groups; shrinking moves edges to the
+        # big body (safe: no extra capping)
+        while nsp + nsn > 0 and (nsp + nsn) % grp:
+            if nsn >= nsp and nsn > 0:
+                nsn -= 1
+            else:
+                nsp -= 1
+        if nsp + nsn == 0:
+            return None
+        return nsp, nsn
 
     def _build_adj2(self, g: Graph) -> Graph:
         from ocn_tpu.sparse.csr import graph_from_numpy
@@ -198,7 +248,7 @@ class Trainer:
         return _largest_divisor_leq(cfg.batch_size, target)
 
     def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corr=None, y=None):
+                     adj2=None, corr=None, y=None, k=None):
         """Score one (2, C) chunk; returns ((C,) scores, new_ema).
 
         ``adj2``: precomputed A^2 Graph for the "gather" two-hop mode.
@@ -207,8 +257,11 @@ class Trainer:
         ``y``: hoisted window table stop_gradient(h)[g.col] — turns the
         predictor's (B, K, H) row gather into contiguous CSR window slices
         (ops/frame.py _frame_matmul_multi_window).
+        ``k``: candidate-frame width override (dual-K occupancy split);
+        defaults to cfg.pad_deg.
         """
         cfg = self.cfg
+        k = k or cfg.pad_deg
         rngs = {}
         if training:
             kd, ks, kf = jax.random.split(key, 3)
@@ -219,9 +272,10 @@ class Trainer:
         variables = {"params": params["predictor"], "ema": ema, "sched": sched}
         if self.frame_based:
             cn1, cn2, src = cn_frames(
-                g, edges, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
+                g, edges, k=k, k2=cfg.pad_deg2, key=frame_key,
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
                 adj2=adj2, self_corr=corr, with_src=True,
+                k2_dst=cfg.pad_deg2_dst,
             )
             pos = src.pos if (y is not None and cfg.cndeg <= 0) else None
             if cfg.cndeg > 0:
@@ -260,30 +314,35 @@ class Trainer:
         return out.reshape(-1), upd.get("ema", ema)
 
     def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corrs=None, y=None):
-        """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema)."""
+                     adj2=None, corrs=None, y=None, k=None, i0=0):
+        """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema).
+
+        ``i0`` offsets the per-chunk RNG fold index so two scan bodies of the
+        same step (dual-K split) draw disjoint dropout/sampling keys."""
         def body(carry, inp):
             ema_c, i = carry
             e, v, cr = inp
             out, ema_n = self._score_chunk(
                 params, ema_c, sched, h, g, e, v,
                 jax.random.fold_in(key, i), training, adj2=adj2, corr=cr, y=y,
+                k=k,
             )
             return (ema_n, i + 1), out
 
         if corrs is None:
             corrs = jnp.zeros_like(valid)
-        (ema_f, _), outs = jax.lax.scan(body, (ema, 0), (edges, valid, corrs))
+        (ema_f, _), outs = jax.lax.scan(body, (ema, i0), (edges, valid, corrs))
         return outs.reshape(-1), ema_f
 
     def _scan_scores_grouped(self, params, ema, sched, h, g, edges, valid, key,
-                             training, adj2, corrs, y=None):
+                             training, adj2, corrs, y=None, k=None, i0=0):
         """Middle ground between the per-chunk scan and full hoisting: each
         scan step builds CN frames for `frame_group` chunks in one vectorized
         shot, then applies the predictor per chunk (column-normalization
         granularity preserved).  Compile cost grows with the group, not the
         batch."""
         cfg = self.cfg
+        k = k or cfg.pad_deg
         grp = cfg.frame_group
         nchunk, _, c = edges.shape
         ngroup = nchunk // grp
@@ -301,9 +360,10 @@ class Trainer:
             e, v, cr = inp
             frame_key = jax.random.fold_in(key, i) if training else None
             cn1, cn2, src = cn_frames(
-                g, e, k=cfg.pad_deg, k2=cfg.pad_deg2, key=frame_key,
+                g, e, k=k, k2=cfg.pad_deg2, key=frame_key,
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
                 adj2=adj2, self_corr=cr, with_src=True,
+                k2_dst=cfg.pad_deg2_dst,
             )
             use_win = y is not None and cfg.cndeg <= 0
             if cfg.cndeg > 0:
@@ -334,7 +394,7 @@ class Trainer:
             return (ema_c, i + 1), jnp.concatenate(outs)
 
         (ema_f, _), outs = jax.lax.scan(
-            body, (ema, 0), (edges_g, valid_g, corrs_g))
+            body, (ema, i0), (edges_g, valid_g, corrs_g))
         return outs.reshape(-1), ema_f
 
     def _scan_scores_hoisted(self, params, ema, sched, h, g, edges, valid, key,
@@ -355,7 +415,7 @@ class Trainer:
             g, flat, k=cfg.pad_deg, k2=cfg.pad_deg2, key=key_frames,
             cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
             adj2=adj2, self_corr=None if corrs is None else corrs.reshape(-1),
-            with_src=True,
+            with_src=True, k2_dst=cfg.pad_deg2_dst,
         )
         use_win = y is not None and cfg.cndeg <= 0
         if cfg.cndeg > 0:
@@ -395,6 +455,13 @@ class Trainer:
             body, (ema, 0), (edges, ids_c, v1_c, v2_c, pos_c))
         return outs.reshape(-1), ema_f
 
+    def _loss(self, pos_out, neg_out):
+        cfg = self.cfg
+        return L.LOSSES[cfg.losstrick](
+            pos_out, neg_out, num_neg=1,
+            weight=cfg.lossweight, margin=cfg.lossmargin,
+        )
+
     # ------------------------------------------------------------ train step
     def _build_steps(self):
         cfg = self.cfg
@@ -426,7 +493,8 @@ class Trainer:
                 return base_g
             return base_g.mask_edges(mask_positions)
 
-        def train_step(state: TrainState, pos, neg, mask_positions, key):
+        def train_step(state: TrainState, pos, neg, mask_positions, key,
+                       inv_p=None, inv_n=None):
             c = self._chunk()
             b = pos.shape[1]
             nchunk = b // c
@@ -435,10 +503,22 @@ class Trainer:
             # while compiling a single scan body
             posc = pos.reshape(2, nchunk, c).transpose(1, 0, 2)
             negc = neg.reshape(2, nchunk, c).transpose(1, 0, 2)
-            allc = jnp.concatenate([posc, negc], axis=0)
-            validc = jnp.ones((2 * nchunk, c), self.dtype)
             g = masked_graph(self.g, mask_positions)
             k_enc, k_lnk = jax.random.split(key)
+            split = self._split
+            if split is not None and (inv_p is None or inv_n is None):
+                raise ValueError(
+                    "k_small > 0 requires degree-sorted batches; build step "
+                    "inputs with Trainer.prepare_batch"
+                )
+
+            def corrs_for(n_pos: int, n_neg: int):
+                # maskinput self-path correction applies to positive chunks
+                if not (cfg.maskinput and self.adj2 is not None):
+                    return None
+                return jnp.concatenate(
+                    [jnp.ones((n_pos, c), self.dtype),
+                     jnp.zeros((n_neg, c), self.dtype)], axis=0)
 
             def loss_fn(params, ema):
                 h = self.encoder.apply(
@@ -452,12 +532,6 @@ class Trainer:
                 y = None
                 if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
                     y = jax.lax.stop_gradient(h)[g.col]
-                corrs = None
-                if cfg.maskinput and self.adj2 is not None:
-                    # self-path correction applies to positive chunks only
-                    corrs = jnp.concatenate(
-                        [jnp.ones((nchunk, c), self.dtype),
-                         jnp.zeros((nchunk, c), self.dtype)], axis=0)
                 plain_frame = (
                     self.frame_based and cfg.predictor not in THREE_HOP
                 )
@@ -467,15 +541,54 @@ class Trainer:
                     scan_fn = self._scan_scores_grouped
                 else:
                     scan_fn = self._scan_scores
-                out, ema2 = scan_fn(
-                    params, ema, state.sched, h, g, allc, validc, k_lnk, True,
-                    adj2=self.adj2, corrs=corrs, y=y)
-                pos_out, neg_out = out[: b], out[b:]
-                loss = L.LOSSES[cfg.losstrick](
-                    pos_out, neg_out, num_neg=1,
-                    weight=cfg.lossweight, margin=cfg.lossmargin,
-                )
-                return loss, ema2
+
+                if split is None:
+                    allc = jnp.concatenate([posc, negc], axis=0)
+                    validc = jnp.ones((2 * nchunk, c), self.dtype)
+                    out, ema2 = scan_fn(
+                        params, ema, state.sched, h, g, allc, validc, k_lnk,
+                        True, adj2=self.adj2, corrs=corrs_for(nchunk, nchunk),
+                        y=y)
+                    return self._loss(out[:b], out[b:]), ema2
+
+                # dual-K occupancy split: batches arrive sorted by source
+                # degree, so the leading chunks hold the low-degree majority
+                # and run at frame width k_small; the tail runs at pad_deg.
+                # EMA update order becomes [pos_s, neg_s, pos_b, neg_b] —
+                # a documented deviation from the reference's all-pos-then-
+                # all-neg (PARITY.md; the EMA is a running mean over
+                # thousands of chunks, within-step order is noise).
+                nsp, nsn = split
+                nbp, nbn = nchunk - nsp, nchunk - nsn
+                grp = cfg.frame_group if scan_fn is self._scan_scores_grouped else 1
+                ema_c = ema
+                out_s = out_b = None
+                if nsp + nsn > 0:
+                    small = jnp.concatenate([posc[:nsp], negc[:nsn]], axis=0)
+                    out_s, ema_c = scan_fn(
+                        params, ema_c, state.sched, h, g, small,
+                        jnp.ones((nsp + nsn, c), self.dtype), k_lnk, True,
+                        adj2=self.adj2, corrs=corrs_for(nsp, nsn), y=y,
+                        k=cfg.k_small)
+                if nbp + nbn > 0:
+                    big = jnp.concatenate([posc[nsp:], negc[nsn:]], axis=0)
+                    out_b, ema_c = scan_fn(
+                        params, ema_c, state.sched, h, g, big,
+                        jnp.ones((nbp + nbn, c), self.dtype), k_lnk, True,
+                        adj2=self.adj2, corrs=corrs_for(nbp, nbn), y=y,
+                        i0=(nsp + nsn) // grp)
+                if out_b is None:
+                    pos_sorted, neg_sorted = out_s[: nsp * c], out_s[nsp * c:]
+                elif out_s is None:
+                    pos_sorted, neg_sorted = out_b[: nbp * c], out_b[nbp * c:]
+                else:
+                    pos_sorted = jnp.concatenate(
+                        [out_s[: nsp * c], out_b[: nbp * c]])
+                    neg_sorted = jnp.concatenate(
+                        [out_s[nsp * c:], out_b[nbp * c:]])
+                # restore original batch order so per-index pos/neg loss
+                # pairing survives the degree sort
+                return self._loss(pos_sorted[inv_p], neg_sorted[inv_n]), ema_c
 
             (loss, new_ema), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, state.ema
@@ -492,8 +605,14 @@ class Trainer:
 
             rep = NamedSharding(mesh, P())
             edg = NamedSharding(mesh, P(None, "dp"))
+
+            def train_step5(state, pos, neg, mask_positions, key):
+                # split is disabled on a mesh (_split_plan); fixed 5-arg
+                # signature keeps the sharding specs aligned
+                return train_step(state, pos, neg, mask_positions, key)
+
             self.train_step = jax.jit(
-                train_step,
+                train_step5,
                 in_shardings=(rep, edg, edg, rep, rep),
                 out_shardings=(rep, rep),
                 donate_argnums=(0,),
@@ -519,6 +638,45 @@ class Trainer:
         self.score = jax.jit(score)
 
     # ------------------------------------------------------------- epoch API
+    def prepare_batch(self, pos_b: np.ndarray, neg_b: np.ndarray,
+                      idx: Optional[np.ndarray] = None):
+        """Host-side step-input prep shared by train_epoch and bench drivers.
+
+        ``pos_b``/``neg_b``: (2, B) int edge arrays; ``idx``: (B,) indices
+        into the train-edge list (for the maskinput position map).
+
+        With the dual-K split active, each side is stable-sorted by source
+        degree so the low-degree majority fills the leading (small-K) chunks;
+        the returned inverse permutations restore original order on the
+        scores, so per-index pos/neg loss pairing is exact for every loss in
+        the catalog.  Returns (pos, neg, mask_positions, inv_p, inv_n) as
+        device-ready arrays (None where inapplicable).
+        """
+        inv_p = inv_n = None
+        if self._split is not None:
+            ar = np.arange(pos_b.shape[1])
+            sp = np.argsort(self._deg_np[pos_b[0]], kind="stable")
+            inv = np.empty_like(sp)
+            inv[sp] = ar
+            pos_b = pos_b[:, sp]
+            if idx is not None:
+                idx = idx[sp]
+            inv_p = jnp.asarray(inv.astype(np.int32))
+            sn = np.argsort(self._deg_np[neg_b[0]], kind="stable")
+            invn = np.empty_like(sn)
+            invn[sn] = ar
+            neg_b = neg_b[:, sn]
+            inv_n = jnp.asarray(invn.astype(np.int32))
+        mp = None
+        if self.edge2pos is not None and idx is not None:
+            mp = jnp.asarray(
+                np.maximum(self.edge2pos[idx].reshape(-1), 0).astype(np.int32))
+        return (
+            jnp.asarray(pos_b.astype(np.int32)),
+            jnp.asarray(neg_b.astype(np.int32)),
+            mp, inv_p, inv_n,
+        )
+
     def train_epoch(self, state: TrainState, rng: np.random.Generator,
                     epoch: int) -> Tuple[TrainState, float]:
         cfg = self.cfg
@@ -542,19 +700,20 @@ class Trainer:
         # train-mode PermIterator drops the ragged tail (utils.py:20-30)
         for i, start in enumerate(range(0, e - bs + 1, bs)):
             idx = perm[start : start + bs]
-            if cfg.sort_batch:
+            if cfg.sort_batch and self._split is None:
                 # cluster the batch's neighbor gathers by source id; pos/neg
                 # share the permutation so per-index loss pairing survives
+                # (the dual-K split's degree sort supersedes this)
                 idx = idx[np.argsort(pos[0, idx], kind="stable")]
-            pe = jnp.asarray(pos[:, idx])
-            ne = jnp.asarray(neg[:, idx])
-            mask_positions = None
-            if self.edge2pos is not None:
-                mp = self.edge2pos[jnp.asarray(idx)]
-                mask_positions = jnp.maximum(mp.reshape(-1), 0)
-            state, loss = self.train_step(
-                state, pe, ne, mask_positions, jax.random.fold_in(key, i)
-            )
+            pe, ne, mask_positions, inv_p, inv_n = self.prepare_batch(
+                pos[:, idx], neg[:, idx], idx)
+            ki = jax.random.fold_in(key, i)
+            if self.mesh is not None:
+                # the mesh step has a fixed 5-arg sharding signature
+                state, loss = self.train_step(state, pe, ne, mask_positions, ki)
+            else:
+                state, loss = self.train_step(
+                    state, pe, ne, mask_positions, ki, inv_p, inv_n)
             losses.append(loss)
         mean_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else 0.0
         return state, mean_loss

@@ -1,0 +1,168 @@
+"""Dual-K occupancy split (Config.k_small): correctness of the degree-sorted
+two-body link scan.
+
+The split changes WHICH edges share a chunk (degree sort) and the frame width
+of the leading chunks — it must not change the math.  Two checks:
+
+* all-small equivalence: with small_frac pinned to 1.0 every chunk runs in
+  the small body, so a split trainer at (pad_deg=P, k_small=K) must produce
+  EXACTLY the loss of an unsplit trainer at pad_deg=K fed the same pre-sorted
+  batches — this exercises the host sort, the inverse-permutation score
+  reassembly (under a pairing-sensitive loss), the corrs routing, and the EMA
+  threading end to end.
+* training sanity: auto-frac split training runs (plain scan and grouped
+  scan) with finite, decreasing-ish loss.
+"""
+import jax
+import numpy as np
+import pytest
+
+from ocn_tpu.config import Config
+from ocn_tpu.data.loaders import synthetic_dataset
+from ocn_tpu.train.loop import Trainer
+
+
+def _cfg(**kw):
+    base = dict(
+        dataset="Cora", predictor="cn5", model="puregcn", mplayers=1,
+        hiddim=32, batch_size=256, testbs=256, maskinput=True,
+        pad_deg=8, pad_deg2=8, linkbatchsize=64, count2_chunk=0,
+        losstrick="auc_loss",  # pairing-sensitive: catches inv-perm bugs
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(tr, ds, rng):
+    e = ds.split_edge["train"]["edge"].shape[0]
+    pos = np.asarray(ds.split_edge["train"]["edge"]).T
+    from ocn_tpu.sparse import build as B
+
+    neg = B.negative_sampling(ds.edge_index, ds.n_nodes, e, rng)
+    idx = rng.permutation(e)[: tr.cfg.batch_size]
+    return pos[:, idx], neg[:, idx], idx
+
+
+def test_split_all_small_matches_presorted_baseline():
+    """With every chunk in the small body, the split trainer must reproduce
+    an unsplit pad_deg=k_small trainer fed the same pre-sorted batches.  The
+    loss must be order-invariant ("simple") because pos and neg are sorted
+    independently — pairing itself is covered by the single-chunk test."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    cfg_a = _cfg(k_small=4, small_frac=1.0, small_frac_neg=1.0,
+                 losstrick="simple")
+    cfg_b = _cfg(pad_deg=4, losstrick="simple")
+    tr_a = Trainer(cfg_a, ds)
+    tr_b = Trainer(cfg_b, ds)
+    assert tr_a._split == (4, 4)  # 256/64 = 4 chunks per side, all small
+    assert tr_b._split is None
+
+    rng = np.random.default_rng(0)
+    pos_b, neg_b, idx = _batch(tr_a, ds, rng)
+    pe, ne, mp, inv_p, inv_n = tr_a.prepare_batch(pos_b, neg_b, idx)
+    assert inv_p is not None and inv_n is not None
+    # the sort really reorders something
+    assert not np.array_equal(np.asarray(pe), pos_b)
+
+    key = jax.random.PRNGKey(7)
+    state_a = tr_a.init_state(0)
+    state_b = tr_b.init_state(0)
+    _, loss_a = tr_a.train_step(state_a, pe, ne, mp, key, inv_p, inv_n)
+    # baseline consumes the SAME sorted arrays without the split machinery
+    _, loss_b = tr_b.train_step(state_b, pe, ne, mp, key)
+    np.testing.assert_allclose(
+        np.asarray(loss_a), np.asarray(loss_b), rtol=1e-6)
+
+
+def test_split_pairing_restored():
+    """Exact pairing check under the paired auc loss: one chunk per side (so
+    column sums / EMA are permutation-invariant), zero dropout, and frame
+    widths above every degree (so no sampling randomness).  The split trainer
+    on degree-sorted inputs must then match the unsplit trainer on the
+    ORIGINAL order bit-for-bit up to reduction-order noise — any
+    inverse-permutation bug would pair different (pos, neg) couples and move
+    the auc loss by O(1)."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    nodrop = dict(
+        gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
+        batch_size=128, testbs=128, linkbatchsize=128, pad_deg2=160,
+        losstrick="auc_loss",
+    )
+    # maxdeg = 37, max A^2 row degree = 142 on this graph: k_small=40 and
+    # pad_deg2=160 leave nothing capped, so no sampling keys are consumed
+    tr_a = Trainer(
+        _cfg(k_small=40, pad_deg=64, small_frac=1.0, small_frac_neg=1.0,
+             **nodrop), ds)
+    tr_b = Trainer(_cfg(pad_deg=40, **nodrop), ds)
+    assert tr_a._split == (1, 1)
+
+    rng = np.random.default_rng(1)
+    pos_b, neg_b, idx = _batch(tr_a, ds, rng)
+    pe, ne, mp, inv_p, inv_n = tr_a.prepare_batch(pos_b, neg_b, idx)
+    key = jax.random.PRNGKey(3)
+    _, loss_a = tr_a.train_step(
+        tr_a.init_state(0), pe, ne, mp, key, inv_p, inv_n)
+    # baseline scores the ORIGINAL order; single-chunk normalization makes
+    # per-edge scores permutation-invariant, so only pairing can differ
+    pe0, ne0, mp0, _, _ = tr_b.prepare_batch(pos_b, neg_b, idx)
+    _, loss_b = tr_b.train_step(tr_b.init_state(0), pe0, ne0, mp0, key)
+    np.testing.assert_allclose(
+        np.asarray(loss_a), np.asarray(loss_b), rtol=1e-4)
+
+
+def test_pad_deg2_dst_exact_when_uncapped():
+    """A dst-frame cap above the max degree must not change anything: N(j)
+    only feeds the cn1 membership in gather mode, and extra lanes are
+    sentinel-padded."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    nodrop = dict(
+        gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
+        batch_size=128, testbs=128, linkbatchsize=128,
+        pad_deg=40, pad_deg2=160, losstrick="auc_loss",
+    )
+    tr_a = Trainer(_cfg(pad_deg2_dst=40, **nodrop), ds)  # maxdeg = 37
+    tr_b = Trainer(_cfg(**nodrop), ds)
+    rng = np.random.default_rng(2)
+    pos_b, neg_b, idx = _batch(tr_a, ds, rng)
+    pe, ne, mp, _, _ = tr_a.prepare_batch(pos_b, neg_b, idx)
+    key = jax.random.PRNGKey(5)
+    _, loss_a = tr_a.train_step(tr_a.init_state(0), pe, ne, mp, key)
+    _, loss_b = tr_b.train_step(tr_b.init_state(0), pe, ne, mp, key)
+    np.testing.assert_allclose(
+        np.asarray(loss_a), np.asarray(loss_b), rtol=1e-5)
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_split_training_runs(group):
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    cfg = _cfg(k_small=4, frame_group=group, epochs=2)
+    tr = Trainer(cfg, ds)
+    assert tr._split is not None
+    nsp, nsn = tr._split
+    assert 0 <= nsp <= 4 and 0 <= nsn <= 4
+    if group > 1:
+        assert (nsp + nsn) % group == 0
+    state = tr.init_state(0)
+    rng = np.random.default_rng(0)
+    losses = []
+    for epoch in range(2):
+        state, loss = tr.train_epoch(state, rng, epoch)
+        assert np.isfinite(loss)
+        losses.append(loss)
+    res = tr.evaluate(state)
+    for k, v in res.items():
+        assert all(np.isfinite(x) for x in v)
+
+
+def test_split_requires_prepared_inputs():
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    tr = Trainer(_cfg(k_small=4), ds)
+    state = tr.init_state(0)
+    rng = np.random.default_rng(0)
+    pos_b, neg_b, idx = _batch(tr, ds, rng)
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="prepare_batch"):
+        tr.train_step(
+            state, jnp.asarray(pos_b), jnp.asarray(neg_b), None,
+            jax.random.PRNGKey(0))
