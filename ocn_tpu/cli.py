@@ -35,7 +35,11 @@ def parseargs(argv=None) -> Config:
     for f in dataclasses.fields(Config):
         name = f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(f"--{name}", action="store_true", default=None)
+            # BooleanOptionalAction gives --X / --no-X so preset-True
+            # booleans (e.g. collab maskinput) can be disabled from the
+            # command line — the reference's store_true flags could not
+            p.add_argument(f"--{name}", action=argparse.BooleanOptionalAction,
+                           default=None)
         elif name == "model":
             p.add_argument("--model", choices=CONV_NAMES, default=None)
         elif name == "predictor":

@@ -60,6 +60,12 @@ class Config:
     cndeg: int = -1
     depth: int = 1
     cnprob: float = 0.0
+    recursion_train_mode: bool = True  # cn2/cn3/cn4: score the stop-gradient
+                                     # recursion with dropouts ACTIVE in train
+                                     # mode, like the reference's torch.no_grad
+                                     # under module.train() (model.py:926-946);
+                                     # False = eval-mode (deterministic)
+                                     # recursive scoring
     # higher-order
     adj2byblock: bool = False        # parity flag; candidate-frame SDDMM replaces it
     sum: float = 1.0                 # cn7/cn8 empty-column fill (`--sum`)
@@ -145,6 +151,16 @@ class Config:
                                      # edge source-degree distribution
     small_frac_neg: float = -1.0     # same for negative chunks; < 0 = auto
                                      # from the node-degree distribution
+    eval_sampling: bool = True       # sample degree-capped rows randomly at
+                                     # eval time too (the reference's
+                                     # sparsesample_reweight is random in
+                                     # train AND eval, utils.py:109-143); the
+                                     # key is a fixed fold of the chunk
+                                     # offset, so eval stays deterministic
+                                     # across calls.  False = deterministic
+                                     # first-k window (biased when rows
+                                     # exceed pad_deg; only exact when
+                                     # pad_deg >= max degree).
     sort_batch: bool = False         # sort each training batch by source id
                                      # (pairing-preserving); measured neutral
                                      # on chip (87.1k vs 87.2k edges/s) - the
@@ -169,6 +185,7 @@ class Config:
             learnpt=self.learnpt, trndeg=self.trndeg, tstdeg=self.tstdeg,
             depth=self.depth, sum=self.sum, polyfirst=self.polyfirst,
             polysecond=self.polysecond, k=self.pad_deg,
+            recursion_train_mode=self.recursion_train_mode,
         )
 
 

@@ -185,6 +185,36 @@ def synthetic_edges(n: int, avg_deg: int, rng: np.random.Generator) -> np.ndarra
     return B.symmetrize_edge_index(ei, n)
 
 
+def sbm_dataset(
+    n: int = 2000,
+    blocks: int = 16,
+    p_in: float = 0.08,
+    p_out: float = 0.002,
+    n_feat: int = 32,
+    seed: int = 0,
+) -> LinkDataset:
+    """Stochastic-block-model graph with strong common-neighbor signal.
+
+    The offline proxy for accuracy studies (BASELINE.md): unlike the
+    Zipf-tilted stand-ins, SBM link prediction is genuinely learnable — CN
+    counts separate in-block from out-of-block pairs — so convergence A/Bs
+    (exact vs capped CN, dual-K split on/off) measure real Hits@K deltas.
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, blocks, size=n)
+    same = labels[:, None] == labels[None, :]
+    p = np.where(same, p_in, p_out)
+    dense = rng.random((n, n)) < p
+    dense = np.triu(dense, 1)
+    dense = dense | dense.T
+    ei = np.stack(np.nonzero(dense))
+    split = randomsplit(ei, n, rng)
+    train_ei = B.symmetrize_edge_index(split["train"]["edge"].T, n)
+    x = rng.standard_normal((n, n_feat)).astype(np.float32)
+    return LinkDataset(name="sbm", x=x, max_x=-1, edge_index=train_ei,
+                       split_edge=split, n_nodes=n)
+
+
 def synthetic_dataset(name: str, seed: int = 0, scale: float = 1.0) -> LinkDataset:
     n, deg, f = SYNTH_SCALES.get(name, (3000, 6, 64))
     n = max(64, int(n * scale))
@@ -256,6 +286,8 @@ def loaddataset(
 ) -> LinkDataset:
     """Reference `loaddataset` (ogbdataset.py:29-71) with offline fallbacks."""
     planetoid = name in ("Cora", "Citeseer", "Pubmed")
+    if name == "sbm":  # offline accuracy-study graph (always synthetic)
+        return sbm_dataset(n=max(64, int(2000 * synthetic_scale)), seed=seed)
     npz = os.path.join(root, f"{name}.npz")
     rng = np.random.default_rng(seed)
     if os.path.exists(npz):

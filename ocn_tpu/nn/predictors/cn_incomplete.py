@@ -74,6 +74,12 @@ class IncompleteCNPredictor(nn.Module):
     depth: int = 1
     k: int = 32  # candidate-frame width (neighbor cap)
     higher_order: bool = False  # cn3: also complete the 2-hop CN order
+    # The reference scores the recursion under torch.no_grad with the module
+    # still in TRAIN mode (model.py:926-946): DropAdj and every MLP dropout
+    # stay ACTIVE inside the recursive scorer (and, for cn3, its EMA buffer
+    # steps on each recursive call).  True reproduces that; False scores the
+    # recursion deterministically (eval-mode semantics).
+    recursion_train_mode: bool = True
 
     def setup(self):
         self.beta = self.param(
@@ -144,8 +150,11 @@ class IncompleteCNPredictor(nn.Module):
                 cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
                 anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
                 ei = jnp.stack([anchors, cand])
-                # reference scores under torch.no_grad in eval-mode semantics
-                prob = self(x, g, ei, training=False, depth=depth - 1)
+                # torch.no_grad => stop_gradient, but the module stays in
+                # train mode: dropouts/DropAdj remain active in the recursive
+                # scorer (reference model.py:926-946)
+                rec_train = training and self.recursion_train_mode
+                prob = self(x, g, ei, training=rec_train, depth=depth - 1)
                 return jax.lax.stop_gradient(prob.reshape(b, r))
 
             prob1 = score_residual(res1, tar_ei[1])  # missing edge (j, k)
@@ -194,8 +203,9 @@ class IncompleteCNPredictor(nn.Module):
         cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
         anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
         ei = jnp.stack([anchors, cand])
+        rec_train = training and self.recursion_train_mode
         prob = jax.lax.stop_gradient(
-            self(x, g, ei, training=False, depth=depth - 1, adj2=adj2)
+            self(x, g, ei, training=rec_train, depth=depth - 1, adj2=adj2)
         ).reshape(b, r)
         if self.learnablept:
             pt = nn.sigmoid(self.ptlin2(nn.relu(self.ptlin1(xij))))

@@ -4,9 +4,7 @@ Replaces torch_sparse's CUDA `spmm_add / spmm_mean / spmm_max`
 (reference model.py:6, used by PureConv at model.py:42-55) with XLA
 segment-reduction formulations over the COO view of the graph.  XLA lowers
 segment_sum over sorted segment ids to an efficient TPU scatter-reduction and
-fuses the value scaling; a Pallas row-blocked CSR kernel is available as a
-drop-in for the `add` case (ocn_tpu/ops/pallas/spmm_kernel.py) and is selected
-via `use_pallas` when it wins.
+fuses the value scaling.
 
 Semantics notes (all verified against the reference):
 * values weight messages: message m(u<-v) = val(u,v) * x[v].

@@ -189,8 +189,9 @@ def negative_sampling(
     NeighborOverlap_large.py:51 `negative_sampling(edge_index, N)`).
 
     Uniform (u, v) proposals rejected against the existing edge set, with
-    oversampling rounds until filled; falls back to keeping possibly-positive
-    pairs only if the graph is near-complete.
+    oversampling rounds until filled; raises if the graph is so dense that
+    rejection sampling cannot fill the request (silently degenerate negatives
+    would corrupt training).
     """
     rng = rng or np.random.default_rng()
     ei = np.asarray(edge_index, np.int64)
@@ -219,5 +220,10 @@ def negative_sampling(
         out[filled : filled + take] = good[:take]
         filled += take
     if filled < num_samples:  # pathological near-complete graph
-        out[filled:] = out[:1]
+        raise RuntimeError(
+            f"negative_sampling filled only {filled}/{num_samples} after 8 "
+            f"rejection rounds (graph too dense: {ei.shape[1]} edges over "
+            f"{n_nodes} nodes); reduce num_samples or sample negatives "
+            "another way"
+        )
     return np.stack([out // n_nodes, out % n_nodes]).astype(np.int64)

@@ -43,9 +43,23 @@ from ocn_tpu.train import metrics as M
 
 
 def _largest_divisor_leq(n: int, target: int) -> int:
+    """Largest divisor of ``n`` that is <= ``target`` (the scan chunk size
+    must divide batch_size exactly).  Warns when the best divisor collapses
+    far below the target — e.g. a prime batch_size degrades to chunk 1,
+    turning one scan step into thousands."""
     target = max(1, min(n, target))
     for c in range(target, 0, -1):
         if n % c == 0:
+            if c * 2 <= target:
+                import warnings
+
+                warnings.warn(
+                    f"batch_size {n} has no divisor near the requested link "
+                    f"chunk {target}; falling back to chunk {c} "
+                    f"({n // c} scan steps). Pick a batch_size divisible by "
+                    "the chunk size (e.g. a multiple of 4096).",
+                    RuntimeWarning, stacklevel=2,
+                )
             return c
     return 1
 
@@ -268,7 +282,12 @@ class Trainer:
             rngs = {"dropout": kd, "sample": ks}
             frame_key = kf
         else:
-            frame_key = None
+            # the reference samples capped rows randomly at eval too
+            # (sparsesample_reweight via adjoverlap's tstdeg,
+            # utils.py:109-143); the caller passes a chunk-offset-folded
+            # fixed key so eval is deterministic across calls.  None =
+            # first-k window (cfg.eval_sampling=False).
+            frame_key = key if cfg.eval_sampling else None
         variables = {"params": params["predictor"], "ema": ema, "sched": sched}
         if self.frame_based:
             cn1, cn2, src = cn_frames(
@@ -625,13 +644,13 @@ class Trainer:
 
         self.encode = jax.jit(encode)
 
-        def score(params, ema, sched, h, g, adj2, edges, valid):
+        def score(params, ema, sched, h, g, adj2, edges, valid, key):
             y = None
             if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
                 y = h[g.col]
             out, _ = self._score_chunk(
                 params, ema, sched, h, g, edges, valid,
-                jax.random.PRNGKey(0), False, adj2=adj2, y=y,
+                key, False, adj2=adj2, y=y,
             )
             return out
 
@@ -733,6 +752,7 @@ class Trainer:
         bs = self.cfg.testbs
         out = []
         n = edges.shape[0]
+        eval_key = jax.random.PRNGKey(self.cfg.seed)
         for start in range(0, n, bs):
             chunk = edges[start : start + bs].T  # (2, c)
             c = chunk.shape[1]
@@ -745,6 +765,7 @@ class Trainer:
             s = self.score(
                 state.params, state.ema, state.sched, h, g, adj2,
                 jnp.asarray(chunk), jnp.asarray(valid),
+                jax.random.fold_in(eval_key, start),
             )
             out.append(np.asarray(s[:c]))
         return np.concatenate(out) if out else np.zeros((0,))

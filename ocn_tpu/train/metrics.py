@@ -8,17 +8,31 @@ reference (`.cpu()` concat, NeighborOverlap_large.py:121-159).
 """
 from __future__ import annotations
 
+import warnings
 from typing import Dict, Sequence
 
 import numpy as np
 
 
-def hits_at_k(pos: np.ndarray, neg: np.ndarray, k: int) -> float:
+def hits_at_k(pos: np.ndarray, neg: np.ndarray, k: int,
+              strict: bool = False) -> float:
     """OGB hits@K: fraction of positives scoring strictly above the K-th best
-    negative; 1.0 when there are fewer than K negatives."""
+    negative.
+
+    Fewer than K negatives makes the metric vacuous (every positive "hits").
+    The OGB Evaluator raises in that case (the reference relies on it,
+    NeighborOverlap_large.py:162-179); here ``strict=True`` raises the same
+    way, and the default emits a loud RuntimeWarning and returns 1.0 so tiny
+    smoke configs still produce a number — but never silently.
+    """
     pos = np.asarray(pos).reshape(-1)
     neg = np.asarray(neg).reshape(-1)
     if neg.shape[0] < k:
+        msg = (f"hits@{k} is vacuous: only {neg.shape[0]} negatives "
+               f"(< K={k}); every positive counts as a hit")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return 1.0
     kth = np.sort(neg)[-k]
     return float((pos > kth).mean())

@@ -79,7 +79,10 @@ def test_metrics():
     assert M.hits_at_k(pos, neg, 2) == pytest.approx(1.0)     # kth = 0.4
     assert M.hits_at_k(pos, neg, 3) == pytest.approx(1.0)     # kth = 0.1
     assert M.hits_at_k(np.array([0.05]), neg, 3) == 0.0
-    assert M.hits_at_k(pos, neg, 100) == 1.0  # fewer negs than K
+    with pytest.warns(RuntimeWarning):  # fewer negs than K: loud, not silent
+        assert M.hits_at_k(pos, neg, 100) == 1.0
+    with pytest.raises(ValueError):  # OGB Evaluator semantics
+        M.hits_at_k(pos, neg, 100, strict=True)
     # MRR: pos=1.0 vs its negs row
     p = np.array([1.0])
     n = np.array([[2.0, 0.5, 0.1]])
