@@ -48,6 +48,9 @@ class PureConvV2(nn.Module):
         if self.aggr in ("mean", "max", "sum"):
             return spmm(g, x, self.aggr)
         if self.aggr == "gcn":
+            own = getattr(g, "gcn_enorm_conv", None)
+            if own is not None:  # node-sharded graph: halo-exchanged norms
+                return own(x)
             norm = jax.lax.rsqrt(1.0 + g.value_rowsum()).astype(x.dtype)
             gw = g.with_values(g.val * norm[g.row] * norm[g.col])
             return spmm(gw, x, "sum")

@@ -669,6 +669,7 @@ def cn_frames(
     adj2: Optional[Graph] = None,
     self_corr: Optional[jax.Array] = None,
     k2_dst: Optional[int] = None,
+    gather_fn=None,
 ):
     """Build cn1 (and optionally cn2) frames for target edges ``tar_ei`` (2, B).
 
@@ -695,10 +696,14 @@ def cn_frames(
     the SDDMM path (there N(j) anchors the exact 2-hop counts).
     """
     k2 = k2 or k
+    # gather_fn overrides the row-window gather (node-sharded tables pass
+    # parallel/sharded_graph.sharded_gather_neighbors); everything downstream
+    # of the gathered NeighborFrames is local math either way
+    gather = gather_fn or gather_neighbors
     keys = jax.random.split(key, 3) if key is not None else (None, None, None)
-    src = gather_neighbors(g, tar_ei[0], k, keys[0])
+    src = gather(g, tar_ei[0], k, keys[0])
     kd = k2_dst if (k2_dst and adj2 is not None and with_cn2) else k2
-    dst = gather_neighbors(g, tar_ei[1], kd, keys[1])
+    dst = gather(g, tar_ei[1], kd, keys[1])
 
     # --- cn1: membership of candidates (N(i)) in N(j) ----------------------
     in_dst = _rowwise_membership(src.ids, dst.ids, dst.w)
@@ -709,7 +714,7 @@ def cn_frames(
 
     # --- cn2 fast path: membership in a precomputed, row-capped A^2 -------
     if adj2 is not None:
-        a2row = gather_neighbors(adj2, tar_ei[1], k2, keys[2])
+        a2row = gather(adj2, tar_ei[1], k2, keys[2])
         counts = _rowwise_membership(src.ids, a2row.ids, a2row.w)
         if self_corr is not None:
             # maskinput correction: the removed target edge (i, j) contributed

@@ -73,7 +73,14 @@ def _spmm_sum(g: Graph, x: jax.Array) -> jax.Array:
 
 
 def spmm(g: Graph, x: jax.Array, aggr: str = "sum") -> jax.Array:
-    """aggr over in-neighbors: out[u] = aggr_{(u,v) in E} val * x[v]."""
+    """aggr over in-neighbors: out[u] = aggr_{(u,v) in E} val * x[v].
+
+    Node-sharded graphs (parallel/sharded_graph.LocalGraph) carry their own
+    halo-exchange SpMM; dispatch to it so the encoder modules work unchanged
+    on a sharded mesh."""
+    own = getattr(g, "sharded_spmm", None)
+    if own is not None:
+        return own(x, aggr)
     if aggr == "sum":
         return _spmm_sum(g, x)
     msg = g.val[:, None] * x[g.col]
@@ -102,6 +109,9 @@ def gcn_norm_conv(g: Graph, x: jax.Array) -> jax.Array:
     sum uses current values, so maskinput / DropAdj shrink the norm exactly as
     in the reference.
     """
+    own = getattr(g, "gcn_norm_conv", None)
+    if own is not None:
+        return own(x)
     norm = jax.lax.rsqrt(1.0 + g.value_rowsum()).astype(x.dtype)[:, None]
     xn = norm * x
     return norm * (spmm(g, xn, "sum") + xn)
@@ -110,6 +120,9 @@ def gcn_norm_conv(g: Graph, x: jax.Array) -> jax.Array:
 def gcn_selfloop_conv(g: Graph, x: jax.Array) -> jax.Array:
     """PyG GCNConv propagation (reference convdict 'gcn', model.py:58-62):
     D^-1/2 (A + I) D^-1/2 with degrees from (A + I) row sums of values."""
+    own = getattr(g, "gcn_selfloop_conv", None)
+    if own is not None:
+        return own(x)
     deg = g.value_rowsum() + 1.0
     norm = jax.lax.rsqrt(deg).astype(x.dtype)[:, None]
     xn = norm * x

@@ -150,7 +150,6 @@ class Trainer:
             or not self.frame_based
             or cfg.predictor in THREE_HOP
             or cfg.hoist_frames
-            or cfg.dp_devices * cfg.tp_devices > 1
         ):
             return None
         c = self._chunk()
@@ -262,7 +261,7 @@ class Trainer:
         return _largest_divisor_leq(cfg.batch_size, target)
 
     def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corr=None, y=None, k=None):
+                     adj2=None, corr=None, y=None, k=None, gather_fn=None):
         """Score one (2, C) chunk; returns ((C,) scores, new_ema).
 
         ``adj2``: precomputed A^2 Graph for the "gather" two-hop mode.
@@ -294,7 +293,7 @@ class Trainer:
                 g, edges, k=k, k2=cfg.pad_deg2, key=frame_key,
                 cn2_counts=cfg.cn2_counts, exact_two_hop=cfg.exact_two_hop,
                 adj2=adj2, self_corr=corr, with_src=True,
-                k2_dst=cfg.pad_deg2_dst,
+                k2_dst=cfg.pad_deg2_dst, gather_fn=gather_fn,
             )
             pos = src.pos if (y is not None and cfg.cndeg <= 0) else None
             if cfg.cndeg > 0:
@@ -333,7 +332,8 @@ class Trainer:
         return out.reshape(-1), upd.get("ema", ema)
 
     def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corrs=None, y=None, k=None, i0=0):
+                     adj2=None, corrs=None, y=None, k=None, i0=0,
+                     gather_fn=None):
         """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema).
 
         ``i0`` offsets the per-chunk RNG fold index so two scan bodies of the
@@ -344,7 +344,7 @@ class Trainer:
             out, ema_n = self._score_chunk(
                 params, ema_c, sched, h, g, e, v,
                 jax.random.fold_in(key, i), training, adj2=adj2, corr=cr, y=y,
-                k=k,
+                k=k, gather_fn=gather_fn,
             )
             return (ema_n, i + 1), out
 
@@ -625,17 +625,29 @@ class Trainer:
             rep = NamedSharding(mesh, P())
             edg = NamedSharding(mesh, P(None, "dp"))
 
-            def train_step5(state, pos, neg, mask_positions, key):
-                # split is disabled on a mesh (_split_plan); fixed 5-arg
-                # signature keeps the sharding specs aligned
-                return train_step(state, pos, neg, mask_positions, key)
+            if self._split is None:
 
-            self.train_step = jax.jit(
-                train_step5,
-                in_shardings=(rep, edg, edg, rep, rep),
-                out_shardings=(rep, rep),
-                donate_argnums=(0,),
-            )
+                def train_step5(state, pos, neg, mask_positions, key):
+                    return train_step(state, pos, neg, mask_positions, key)
+
+                self.train_step = jax.jit(
+                    train_step5,
+                    in_shardings=(rep, edg, edg, rep, rep),
+                    out_shardings=(rep, rep),
+                    donate_argnums=(0,),
+                )
+            else:
+                # dual-K split on the GSPMD mesh: the scan over chunks stays
+                # serialized (edges shard WITHIN each chunk over "dp"), so the
+                # two scan bodies run the same program on every device; the
+                # inverse permutations are replicated and GSPMD inserts the
+                # gather resharding for the score reordering
+                self.train_step = jax.jit(
+                    train_step,
+                    in_shardings=(rep, edg, edg, rep, rep, rep, rep),
+                    out_shardings=(rep, rep),
+                    donate_argnums=(0,),
+                )
         else:
             self.train_step = jax.jit(train_step, donate_argnums=(0,))
 
@@ -727,8 +739,8 @@ class Trainer:
             pe, ne, mask_positions, inv_p, inv_n = self.prepare_batch(
                 pos[:, idx], neg[:, idx], idx)
             ki = jax.random.fold_in(key, i)
-            if self.mesh is not None:
-                # the mesh step has a fixed 5-arg sharding signature
+            if self.mesh is not None and self._split is None:
+                # the unsplit mesh step has a fixed 5-arg sharding signature
                 state, loss = self.train_step(state, pe, ne, mask_positions, ki)
             else:
                 state, loss = self.train_step(

@@ -34,6 +34,7 @@ def main():
     from ocn_tpu.train.loop import Trainer
 
     per_dev = int(os.environ.get("S_PERDEV", "512"))
+    mode = os.environ.get("S_MODE", "spmd")  # "spmd" | "sharded"
     ndev = len(jax.devices())
     ds = synthetic_dataset("Cora", seed=0, scale=1.0)
     results = {}
@@ -48,7 +49,16 @@ def main():
         )
         tr = Trainer(cfg, ds)
         mesh = make_mesh(dp=dp, tp=1)
-        step = make_spmd_train_step(tr, mesh)
+        if mode == "sharded":
+            from ocn_tpu.parallel.sharded_graph import (
+                make_sharded_graph_train_step)
+
+            step0, prepare = make_sharded_graph_train_step(tr, mesh)
+
+            def step(state, pe, ne, mp, key, _s=step0, _p=prepare):
+                return _s(state, pe, ne, _p(np.asarray(mp)), key)
+        else:
+            step = make_spmd_train_step(tr, mesh)
         state = tr.init_state(0)
         rng = np.random.default_rng(0)
         pos = ds.split_edge["train"]["edge"].T

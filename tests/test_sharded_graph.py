@@ -1,0 +1,203 @@
+"""Integrated node-sharded training (parallel/sharded_graph.py): adjacency,
+A^2 and features sharded over the virtual 8-CPU mesh.
+
+Parity target: the replicated-graph shard_map DP step (parallel/spmd.py) with
+the SAME per-device chunk assignment — the sharded-graph step changes only
+WHERE the graph arrays live, so with every stochastic knob off (no dropout,
+pad_deg above the max degree, no DropAdj) the loss must match to fp tolerance.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocn_tpu.config import Config
+from ocn_tpu.data.loaders import synthetic_dataset
+from ocn_tpu.parallel.mesh import make_mesh
+from ocn_tpu.train.loop import Trainer
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        dataset="Cora", predictor="cn5", model="puregcn", mplayers=2,
+        hiddim=32, batch_size=256, testbs=256, maskinput=True,
+        pad_deg=64, pad_deg2=64, linkbatchsize=32, two_hop_mode="gather",
+        gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
+        reorder="none",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(tr, ds, seed=0):
+    rng = np.random.default_rng(seed)
+    pos_all = np.asarray(ds.split_edge["train"]["edge"]).T
+    idx = rng.permutation(pos_all.shape[1])[: tr.cfg.batch_size]
+    pos = pos_all[:, idx]
+    neg = np.stack([
+        rng.integers(0, ds.n_nodes, size=tr.cfg.batch_size),
+        rng.integers(0, ds.n_nodes, size=tr.cfg.batch_size),
+    ])
+    mp = None
+    if tr.edge2pos is not None:
+        mp = np.maximum(tr.edge2pos[idx].reshape(-1), 0).astype(np.int32)
+    return (jnp.asarray(pos.astype(np.int32)),
+            jnp.asarray(neg.astype(np.int32)), mp)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset("Cora", seed=0, scale=0.2)
+
+
+def test_sharded_window_gather_matches_replicated(ds):
+    """sharded_gather_neighbors == gather_neighbors on every requested row."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from ocn_tpu.ops.frame import gather_neighbors
+    from ocn_tpu.parallel.sharded_graph import (
+        LocalWindows, partition_windows, sharded_gather_neighbors)
+
+    cfg = _cfg()
+    tr = Trainer(cfg, ds)
+    mesh = make_mesh(8, 1)
+    wip, wcol, wval, wdeg, _ = partition_windows(tr.g, 8)
+    rows_per = wdeg.shape[1]
+    r0s = jnp.asarray((np.arange(8) * rows_per).astype(np.int32))[:, None]
+
+    rng = np.random.default_rng(0)
+    nodes = rng.integers(0, ds.n_nodes, size=8 * 16).astype(np.int32)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    def run(nodes_l, ip, col, val, deg, r0):
+        lw = LocalWindows(ip=ip[0], col=col[0], val=val[0], deg=deg[0],
+                          r0=r0[0, 0], rows_per=rows_per,
+                          n_nodes=tr.g.n_nodes, axis="dp")
+        nf = sharded_gather_neighbors(lw, nodes_l, 8, None)
+        return nf.ids, nf.w
+
+    ids_s, w_s = run(jnp.asarray(nodes), jnp.asarray(wip), jnp.asarray(wcol),
+                     jnp.asarray(wval), jnp.asarray(wdeg), r0s)
+    ref = gather_neighbors(tr.g, jnp.asarray(nodes), 8, None)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ref.ids))
+    np.testing.assert_allclose(np.asarray(w_s), np.asarray(ref.w), rtol=1e-6)
+
+
+def test_sharded_graph_step_matches_replicated_spmd(ds):
+    """One train step with sharded adjacency + A^2 + features produces the
+    same loss (and the same loss trajectory over 3 steps) as the
+    replicated-graph shard_map DP step."""
+    from ocn_tpu.parallel.sharded_graph import make_sharded_graph_train_step
+    from ocn_tpu.parallel.spmd import make_spmd_train_step
+
+    cfg = _cfg()
+    tr = Trainer(cfg, ds)
+    mesh = make_mesh(8, 1)
+    step_rep = make_spmd_train_step(tr, mesh)
+    step_sh, prepare = make_sharded_graph_train_step(tr, mesh)
+
+    state_r = tr.init_state(0)
+    state_s = tr.init_state(0)
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        pos, neg, mp = _batch(tr, ds, seed=i)
+        ki = jax.random.fold_in(key, i)
+        state_r, loss_r = step_rep(state_r, pos, neg, jnp.asarray(mp), ki)
+        state_s, loss_s = step_sh(state_s, pos, neg, prepare(mp), ki)
+        assert np.isfinite(float(loss_r)) and np.isfinite(float(loss_s))
+        np.testing.assert_allclose(
+            float(loss_s), float(loss_r), rtol=2e-4,
+            err_msg=f"step {i}: sharded {float(loss_s)} vs replicated "
+                    f"{float(loss_r)}")
+
+
+def test_dual_k_split_on_gspmd_mesh(ds):
+    """The dual-K occupancy split now runs on the GSPMD mesh path (VERDICT r1
+    item 3): edges shard WITHIN chunks so the two scan bodies stay one
+    program; loss must equal the single-device split trainer bit-for-bit
+    (same keys, no device folding under GSPMD)."""
+    import jax.numpy as jnp
+
+    kw = dict(k_small=4, small_frac=0.5, small_frac_neg=0.5, pad_deg=8,
+              pad_deg2=8, maskinput=True)
+    tr_1 = Trainer(_cfg(**kw), ds)
+    tr_m = Trainer(_cfg(dp_devices=4, tp_devices=2, **kw), ds)
+    assert tr_m._split == tr_1._split is not None
+    s1 = tr_1.init_state(0)
+    sm = tr_m.init_state(0)
+    pos, neg, mp = _batch(tr_1, ds, seed=0)
+    pe, ne, mpp, ip, inn = tr_1.prepare_batch(np.asarray(pos), np.asarray(neg))
+    mpj = jnp.asarray(mp)
+    key = jax.random.PRNGKey(0)
+    _, l1 = tr_1.train_step(s1, pe, ne, mpj, key, ip, inn)
+    _, lm = tr_m.train_step(sm, pe, ne, mpj, key, ip, inn)
+    np.testing.assert_allclose(float(lm), float(l1), rtol=1e-5)
+
+
+def test_sharded_graph_encoder_convs(ds):
+    """Every conv family the encoder offers runs on the sharded graph and
+    matches the replicated encoder output on the real node rows."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from ocn_tpu.parallel.node_sharded import partition_graph_boundary
+    from ocn_tpu.parallel.sharded_graph import LocalGraph
+
+    mesh = make_mesh(8, 1)
+    for model, stack in [("puregcn", "ts"), ("puremean", "ts"),
+                         ("puresum", "ts"), ("gcn", "ts"), ("gin", "ts"),
+                         ("puregcn", "ho"), ("gcn", "ho")]:
+        cfg = _cfg(model=model, encoder_stack=stack, mplayers=2)
+        tr = Trainer(cfg, ds)
+        bp = partition_graph_boundary(tr.g, 8)
+        rows_per = bp.rows_per
+        n_pad = 8 * rows_per
+        x = np.asarray(tr.x)
+        x_pad = np.concatenate(
+            [x, np.zeros((n_pad - x.shape[0],) + x.shape[1:], x.dtype)])
+        xj = jnp.asarray(x_pad.reshape(8, rows_per, -1))
+        state = tr.init_state(0)
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(),) + (P("dp"),) * 8,
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        def enc(params, x_l, sidx, icol, irow, ival, bpos, brow, bval):
+            lg = LocalGraph(
+                sidx=sidx[0], icol=icol[0], irow=irow[0], ival=ival[0],
+                bpos=bpos[0], brow=brow[0], bval=bval[0],
+                rows_per=rows_per, ndev=8, bmax=bp.bmax,
+                n_nodes=tr.g.n_nodes, axis="dp")
+            return tr.encoder.apply({"params": params}, x_l[0], lg, False)
+
+        h_s = enc(
+            state.params["encoder"], xj,
+            jnp.asarray(bp.send_idx),
+            jnp.asarray(bp.icol.astype(np.int32)),
+            jnp.asarray(bp.irow.astype(np.int32)),
+            jnp.asarray(bp.ival),
+            jnp.asarray(bp.bpos.astype(np.int32)),
+            jnp.asarray(bp.brow.astype(np.int32)),
+            jnp.asarray(bp.bval),
+        )
+        h_r = tr.encoder.apply(
+            {"params": state.params["encoder"]}, tr.x, tr.g, False)
+        np.testing.assert_allclose(
+            np.asarray(h_s)[: ds.n_nodes], np.asarray(h_r), rtol=5e-4,
+            atol=5e-5, err_msg=f"{model}/{stack}")
