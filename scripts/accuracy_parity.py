@@ -73,6 +73,17 @@ def variant_overrides(name: str, max_deg: int) -> dict:
                        adj2_cap=256),
         "hard8": dict(pad_deg=8, pad_deg2=8, two_hop_mode="gather",
                       adj2_cap=128),
+        # dual-K A/B at a chunk size that actually activates the split
+        # (capped_k16 at linkbatchsize==batch has nchunk=1 -> split off);
+        # both arms share the chunk size so colnorm granularity matches
+        "lb256": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                      adj2_cap=1024, linkbatchsize=256),
+        "lb256_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                          adj2_cap=1024, linkbatchsize=256, k_small=16),
+        "lb128": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                      adj2_cap=1024, linkbatchsize=128),
+        "lb128_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                          adj2_cap=1024, linkbatchsize=128, k_small=16),
     }
     return table[name]
 
