@@ -26,6 +26,11 @@ A100_REF_EDGES_PER_S = 60_000.0
 def main():
     import jax
 
+    if os.environ.get("OCN_BENCH_PLATFORM"):
+        # env vars can't unpin the axon TPU backend; jax.config can
+        # (used for the same-CPU comparison vs scripts/bench_reference_torch.py)
+        jax.config.update("jax_platforms", os.environ["OCN_BENCH_PLATFORM"])
+
     from ocn_tpu.config import Config
     from ocn_tpu.data.loaders import synthetic_dataset
     from ocn_tpu.train.loop import Trainer

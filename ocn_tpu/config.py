@@ -219,6 +219,9 @@ _PRESETS = {
         maskinput=True, jk=True, use_valedges_as_input=True, res=True,
         use_xlin=True, tailact=True, batch_size=65536, gnnlr=0.001,
         prelr=0.001, predp=0.3, preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25,
+        # dual-K occupancy split: +54% edges/s, Hits@K within noise
+        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
+        k_small=16,
     ),
     # README.md:47 — ppa OCN
     ("ppa", "cn5"): dict(
@@ -228,6 +231,9 @@ _PRESETS = {
         predp=0.1, preedp=0.0, xdp=0.1, tdp=0.1, gnnedp=0.1, probscale=4.3,
         proboffset=2.8, alpha=1.0, encoder_stack="ho", linkbatchsize=512,
         cn2_counts=True,
+        # dual-K occupancy split: +54% edges/s, Hits@K within noise
+        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
+        k_small=16,
     ),
     # README.md:53 — citation2 OCN
     ("citation2", "cn5"): dict(
@@ -275,6 +281,9 @@ _PRESETS = {
         maskinput=True, jk=True, use_valedges_as_input=True, res=True,
         use_xlin=True, tailact=True, batch_size=65536, gnnlr=0.001,
         prelr=0.001, predp=0.3, preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25,
+        # dual-K occupancy split: +54% edges/s, Hits@K within noise
+        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
+        k_small=16,
         losstrick="auc_loss",
     ),
     ("collab", "cn7"): dict(
@@ -283,6 +292,9 @@ _PRESETS = {
         maskinput=True, use_valedges_as_input=True, res=True, use_xlin=True,
         tailact=True, batch_size=65536, gnnlr=0.001, prelr=0.001, predp=0.3,
         preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25, jk=True,
+        # dual-K occupancy split: +54% edges/s, Hits@K within noise
+        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
+        k_small=16,
     ),
 }
 

@@ -57,21 +57,23 @@ def row_gather(indptr, col, val, nodes):
         z = torch.zeros(0, dtype=torch.int64)
         return z, z, torch.zeros(0)
     ends = torch.cumsum(cnt, 0)
-    offs = torch.arange(total) + (start - torch.repeat_interleave(ends - cnt, cnt))
-    pos = offs  # absolute positions: start_i + local offset
+    local = torch.arange(total) - torch.repeat_interleave(ends - cnt, cnt)
+    pos = torch.repeat_interleave(start, cnt) + local
     rows = torch.repeat_interleave(torch.arange(nodes.shape[0]), cnt)
     return rows, col[pos].to(torch.int64), val[pos]
 
 
 def spmoverlap(r1, c1, v1, r2, c2, v2, n):
     """Reference spmoverlap_ (utils.py:163-183): packed-key searchsorted
-    intersection; returns entries of (r1, c1) present in (r2, c2)."""
+    intersection; returns entries of (r1, c1) present in (r2, c2) with the
+    Hadamard product v1*v2 at the matching positions (spsphadamard)."""
     k1 = packed(r1, c1, n)
     k2, order2 = torch.sort(packed(r2, c2, n))
     idx = torch.searchsorted(k2, k1)
     idx = torch.clamp(idx, max=max(k2.shape[0] - 1, 0))
     hit = (k2[idx] == k1) if k2.shape[0] else torch.zeros_like(k1, dtype=torch.bool)
-    return r1[hit], c1[hit], v1[hit]
+    v2s = v2[order2] if k2.shape[0] else v2
+    return r1[hit], c1[hit], v1[hit] * v2s[idx[hit]]
 
 
 class Mlp(torch.nn.Module):

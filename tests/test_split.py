@@ -74,6 +74,41 @@ def test_split_all_small_matches_presorted_baseline():
         np.asarray(loss_a), np.asarray(loss_b), rtol=1e-6)
 
 
+def test_split_mixed_bodies_match_uncapped_oracle():
+    """Mixed small+big exactness (VERDICT r1 item 4): with BOTH scan bodies
+    active in one step and frame widths above every degree, the split must be
+    exact — the widths differ but nothing is capped, so padding lanes are the
+    only difference and they must contribute zero.  small_frac_neg=0 keeps
+    the EMA update order [pos_s, pos_b, neg_b] == the unsplit [pos, neg]
+    order, so the comparison is exact rather than EMA-order-perturbed.  The
+    genuinely approximate case (a small-body chunk holding deg>k_small rows,
+    i.e. boundary spill) is covered by the convergence A/B in
+    results/parity_sbm.jsonl (lb256 vs lb256_k16)."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    nodrop = dict(
+        gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
+        batch_size=256, testbs=256, linkbatchsize=64, pad_deg2=160,
+        losstrick="simple",  # order-invariant: pos/neg sorted independently
+    )
+    # maxdeg = 37 on this graph: k_small=40 leaves the small body uncapped
+    tr_a = Trainer(
+        _cfg(k_small=40, pad_deg=64, small_frac=0.5, small_frac_neg=0.0,
+             **nodrop), ds)
+    tr_b = Trainer(_cfg(pad_deg=64, **nodrop), ds)
+    assert tr_a._split == (2, 0)  # 2 of 4 pos chunks small, all neg big
+
+    rng = np.random.default_rng(3)
+    pos_b, neg_b, idx = _batch(tr_a, ds, rng)
+    pe, ne, mp, inv_p, inv_n = tr_a.prepare_batch(pos_b, neg_b, idx)
+    key = jax.random.PRNGKey(11)
+    _, loss_a = tr_a.train_step(
+        tr_a.init_state(0), pe, ne, mp, key, inv_p, inv_n)
+    # baseline consumes the SAME sorted arrays without the split machinery
+    _, loss_b = tr_b.train_step(tr_b.init_state(0), pe, ne, mp, key)
+    np.testing.assert_allclose(
+        np.asarray(loss_a), np.asarray(loss_b), rtol=1e-5)
+
+
 def test_split_pairing_restored():
     """Exact pairing check under the paired auc loss: one chunk per side (so
     column sums / EMA are permutation-invariant), zero dropout, and frame
