@@ -53,6 +53,7 @@ def main():
         pad_deg2_dst=int(os.environ.get("OCN_BENCH_K2DST", "0")),
         window_table=os.environ.get("OCN_BENCH_WINDOW", "0") == "1",
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
+        ell_tables=os.environ.get("OCN_BENCH_ELL", "1") == "1",
     )
     ds = synthetic_dataset("collab", seed=0, scale=scale)
     if os.environ.get("OCN_BENCH_REORDER", "bfs") == "bfs":
@@ -63,6 +64,20 @@ def main():
 
     e = ds.split_edge["train"]["edge"].shape[0]
     rng = np.random.default_rng(0)
+
+    refresh_s = 0.0
+    if tr._use_ell:
+        # bench drives train_step directly (no train_epoch), so build the
+        # ELL tables here and charge their per-epoch rebuild to the step
+        # time below (amortized over the steps one epoch contains)
+        tr._refresh_ell(np.random.default_rng(1))  # compile/warm
+        jax.device_get(tr._ell["tbl2"][0, 0])
+        t0 = time.perf_counter()
+        tr._refresh_ell(np.random.default_rng(2))
+        # fetch forces completion (block_until_ready alone is unreliable
+        # through the tunnel for independent dispatches, BENCH_NOTES.md r2)
+        jax.device_get(tr._ell["tbl2"][0, 0])
+        refresh_s = time.perf_counter() - t0
     from ocn_tpu.sparse import build as B
 
     pos = ds.split_edge["train"]["edge"].T
@@ -98,6 +113,9 @@ def main():
         done += 2 * batch  # pos + neg links scored per step
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
+    # amortize the per-epoch ELL refresh over an epoch's worth of steps
+    steps_per_epoch = max(1, e // batch)
+    dt += steps * refresh_s / (steps_per_epoch * max(1, cfg.ell_refresh))
     eps = done / dt
 
     print(json.dumps({

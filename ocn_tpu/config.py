@@ -151,6 +151,19 @@ class Config:
                                      # edge source-degree distribution
     small_frac_neg: float = -1.0     # same for negative chunks; < 0 = auto
                                      # from the node-degree distribution
+    ell_tables: bool = True          # ELL window-table gathers (sparse/
+                                     # ell.py): per-node neighbor windows
+                                     # frozen per refresh in (N, K) row-
+                                     # gatherable tables — TPU gathers are
+                                     # descriptor-rate-bound, so row gathers
+                                     # are ~6x cheaper than the flat window
+                                     # gathers they replace (BENCH_NOTES.md
+                                     # round 2).  Train path only; requires
+                                     # the packed col|val layout + gather
+                                     # two-hop mode.
+    ell_refresh: int = 1             # rebuild the ELL window sample every
+                                     # this many epochs (re-draws the capped
+                                     # rows' window offsets)
     eval_sampling: bool = True       # sample degree-capped rows randomly at
                                      # eval time too (the reference's
                                      # sparsesample_reweight is random in

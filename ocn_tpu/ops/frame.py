@@ -120,6 +120,26 @@ def gather_neighbors(
     w_row = jnp.where(capped, deg.astype(jnp.float32) / k, 1.0)
     valid = lane < jnp.minimum(deg, k)[:, None]
 
+    if g.ell is not None and sampling == "window" and k <= g.ell_k:
+        # ELL fast path (sparse/ell.py): the window sample is FROZEN in a
+        # (n_nodes, ell_k) packed table, so this is ONE (B,) row gather —
+        # 64 elements per descriptor instead of one (descriptor-rate math in
+        # BENCH_NOTES.md round 2).  ``key`` is ignored: offset randomness is
+        # per-refresh, drawn when the table was built (PARITY.md deviation).
+        # k < ell_k (dual-K small body / pad_deg2_dst) takes the window's
+        # leading k lanes — a valid sub-window of the frozen sample.
+        pk = g.ell[nodes]
+        if k < g.ell_k:
+            pk = pk[:, :k]
+        ids = jnp.bitwise_and(pk, (1 << g.col_bits) - 1)
+        vals = jnp.right_shift(pk, g.col_bits).astype(jnp.float32)
+        w = jnp.where(valid, w_row[:, None] * vals, 0.0)
+        ids = jnp.where(valid, ids, g.n_nodes)
+        pos0 = jnp.minimum(
+            start + g.ell_off[nodes], jnp.maximum(g.col.shape[0] - k, 0))
+        return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes,
+                             pos=pos0[:, None] + lane)
+
     if sampling == "window" or key is None:
         if key is not None:
             u = jax.random.uniform(key, (b,))

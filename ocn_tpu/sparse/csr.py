@@ -67,18 +67,34 @@ class Graph:
     # fit the spare bits; any value mutation drops it (see with_values).
     packed: Optional[jax.Array] = None
     col_bits: int = 0
+    # ELL window tables (sparse/ell.py): ell[r] holds the packed col|val
+    # entries of the CSR window [indptr[r]+ell_off[r], +ell_k) — the per-node
+    # neighbor sample FROZEN for a refresh interval.  Per-chunk neighbor
+    # gathers then become (B,) ROW gathers of a 2-D table instead of (B, K)
+    # flat-position gathers: TPU gathers are descriptor-rate-bound (~17-38
+    # ns/descriptor, BENCH_NOTES.md round 2), so one 64-element row per
+    # descriptor is ~6x+ cheaper for the same payload.
+    ell: Optional[jax.Array] = None      # (n_nodes, ell_k) int32 packed
+    ell_off: Optional[jax.Array] = None  # (n_nodes,) int32 window offsets
+    ell_k: int = 0
 
     # -- pytree plumbing (n_nodes is static aux data) ------------------------
     def tree_flatten(self):
         return (
             self.indptr, self.col, self.row, self.val, self.deg, self.tpos,
-            self.packed,
-        ), (self.n_nodes, self.col_bits)
+            self.packed, self.ell, self.ell_off,
+        ), (self.n_nodes, self.col_bits, self.ell_k)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        indptr, col, row, val, deg, tpos, packed = children
-        return cls(indptr, col, row, val, deg, aux[0], tpos, packed, aux[1])
+        indptr, col, row, val, deg, tpos, packed, ell, ell_off = children
+        return cls(indptr, col, row, val, deg, aux[0], tpos, packed, aux[1],
+                   ell, ell_off, aux[2])
+
+    def with_ell(self, ell: jax.Array, ell_off: jax.Array) -> "Graph":
+        """Attach ELL window tables (requires a packed col|val layout)."""
+        return dataclasses.replace(
+            self, ell=ell, ell_off=ell_off, ell_k=int(ell.shape[1]))
 
     # -- basic properties ----------------------------------------------------
     @property
@@ -86,8 +102,11 @@ class Graph:
         return self.col.shape[0]
 
     def with_values(self, val: jax.Array) -> "Graph":
-        # value mutation invalidates the packed col|val array
-        return dataclasses.replace(self, val=val, packed=None, col_bits=0)
+        # value mutation invalidates the packed col|val array and any ELL
+        # window table built from it
+        return dataclasses.replace(
+            self, val=val, packed=None, col_bits=0,
+            ell=None, ell_off=None, ell_k=0)
 
     def ones_values(self) -> "Graph":
         return self.with_values(jnp.ones_like(self.val))
@@ -112,6 +131,12 @@ class Graph:
             cleared = self.packed[positions] & ((1 << self.col_bits) - 1)
             out = dataclasses.replace(
                 out, packed=self.packed.at[positions].set(cleared))
+        if self.ell is not None:
+            # the ELL table holds copies of these entries; callers that know
+            # the masked edges' endpoints re-attach a masked table via
+            # sparse/ell.py mask_ell (train/loop.py) — dropping it here keeps
+            # a forgotten path from reading unmasked values
+            out = dataclasses.replace(out, ell=None, ell_off=None, ell_k=0)
         return out
 
     def drop_edges(self, key: jax.Array, p: float, doscale: bool = True) -> "Graph":

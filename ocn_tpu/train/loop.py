@@ -130,7 +130,39 @@ class Trainer:
 
         self._deg_np = np.asarray(self.g.deg)
         self._split = self._split_plan()
+        # ELL window tables (sparse/ell.py): built lazily by the first
+        # train_epoch and refreshed every cfg.ell_refresh epochs.  Train path
+        # only — eval keeps the key-sampled / deterministic CSR window path.
+        self._ell = None
+        self._indptr_np = np.asarray(self.g.indptr)
+        self._use_ell = bool(
+            cfg.ell_tables
+            and self.frame_based
+            and self.adj2 is not None
+            and self.g.packed is not None
+            and self.adj2.packed is not None
+        )
         self._build_steps()
+
+    def _refresh_ell(self, rng: np.random.Generator) -> None:
+        """Re-draw the frozen window offsets and rebuild both ELL tables on
+        device (one (N, K) flat gather each — paid per refresh, amortized
+        over an epoch of chunks)."""
+        from ocn_tpu.sparse import ell as ELL
+
+        cfg = self.cfg
+        off1 = ELL.draw_offsets(self._deg_np, cfg.pad_deg, rng)
+        tbl1 = ELL.build_ell(
+            self.g.packed, self.g.indptr, jnp.asarray(off1), cfg.pad_deg)
+        deg2 = np.asarray(self.adj2.deg)
+        off2 = ELL.draw_offsets(deg2, cfg.pad_deg2, rng)
+        tbl2 = ELL.build_ell(
+            self.adj2.packed, self.adj2.indptr, jnp.asarray(off2),
+            cfg.pad_deg2)
+        self._ell = dict(
+            tbl1=tbl1, off1=jnp.asarray(off1), off1_np=off1,
+            tbl2=tbl2, off2=jnp.asarray(off2),
+        )
 
     def _split_plan(self):
         """Static chunk counts (n_small_pos, n_small_neg) for the dual-K
@@ -508,9 +540,33 @@ class Trainer:
         self._constrain_tp = _constrain_tp
 
         def masked_graph(base_g: Graph, mask_positions):
+            """mask_positions: None | (P,) CSR positions | aux dict from
+            prepare_batch carrying CSR positions + ELL window tables
+            (sparse/ell.py).  The dict form attaches a maskinput-consistent
+            ELL table: value bits cleared at the batch edges' frozen-window
+            positions (computed host-side, scattered here)."""
             if mask_positions is None:
                 return base_g
+            if isinstance(mask_positions, dict):
+                from ocn_tpu.sparse.ell import apply_ell_mask
+
+                mp = mask_positions
+                g = (base_g.mask_edges(mp["csr"])
+                     if mp.get("csr") is not None else base_g)
+                tbl = mp["ell1"]
+                if mp.get("ell_flat") is not None:
+                    tbl = apply_ell_mask(tbl, mp["ell_flat"], mp["ell_cleared"])
+                return g.with_ell(tbl, mp["off1"])
             return base_g.mask_edges(mask_positions)
+
+        def local_adj2(mask_positions):
+            # A^2 needs no maskinput treatment (the self-path correction in
+            # cn_frames handles it), but its window gathers ride the same
+            # ELL layout when tables are on
+            if isinstance(mask_positions, dict) and "ell2" in mask_positions:
+                return self.adj2.with_ell(
+                    mask_positions["ell2"], mask_positions["off2"])
+            return self.adj2
 
         def train_step(state: TrainState, pos, neg, mask_positions, key,
                        inv_p=None, inv_n=None):
@@ -523,6 +579,7 @@ class Trainer:
             posc = pos.reshape(2, nchunk, c).transpose(1, 0, 2)
             negc = neg.reshape(2, nchunk, c).transpose(1, 0, 2)
             g = masked_graph(self.g, mask_positions)
+            adj2 = local_adj2(mask_positions)
             k_enc, k_lnk = jax.random.split(key)
             split = self._split
             if split is not None and (inv_p is None or inv_n is None):
@@ -566,7 +623,7 @@ class Trainer:
                     validc = jnp.ones((2 * nchunk, c), self.dtype)
                     out, ema2 = scan_fn(
                         params, ema, state.sched, h, g, allc, validc, k_lnk,
-                        True, adj2=self.adj2, corrs=corrs_for(nchunk, nchunk),
+                        True, adj2=adj2, corrs=corrs_for(nchunk, nchunk),
                         y=y)
                     return self._loss(out[:b], out[b:]), ema2
 
@@ -587,14 +644,14 @@ class Trainer:
                     out_s, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, small,
                         jnp.ones((nsp + nsn, c), self.dtype), k_lnk, True,
-                        adj2=self.adj2, corrs=corrs_for(nsp, nsn), y=y,
+                        adj2=adj2, corrs=corrs_for(nsp, nsn), y=y,
                         k=cfg.k_small)
                 if nbp + nbn > 0:
                     big = jnp.concatenate([posc[nsp:], negc[nsn:]], axis=0)
                     out_b, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, big,
                         jnp.ones((nbp + nbn, c), self.dtype), k_lnk, True,
-                        adj2=self.adj2, corrs=corrs_for(nbp, nbn), y=y,
+                        adj2=adj2, corrs=corrs_for(nbp, nbn), y=y,
                         i0=(nsp + nsn) // grp)
                 if out_b is None:
                     pos_sorted, neg_sorted = out_s[: nsp * c], out_s[nsp * c:]
@@ -698,10 +755,30 @@ class Trainer:
             invn[sn] = ar
             neg_b = neg_b[:, sn]
             inv_n = jnp.asarray(invn.astype(np.int32))
-        mp = None
+        mp = mp_np = None
         if self.edge2pos is not None and idx is not None:
-            mp = jnp.asarray(
-                np.maximum(self.edge2pos[idx].reshape(-1), 0).astype(np.int32))
+            mp_np = np.maximum(self.edge2pos[idx].reshape(-1), 0).astype(np.int32)
+            mp = jnp.asarray(mp_np)
+        if self._ell is not None:
+            # aux dict form: CSR mask positions + the current refresh's ELL
+            # window tables (+ the batch edges' positions inside the frozen
+            # windows, computed host-side — sparse/ell.py).  train_step's
+            # masked_graph consumes the dict; shape/structure is stable
+            # across refreshes so the step never recompiles.
+            from ocn_tpu.sparse.ell import mask_ell_flat_positions
+
+            aux = {
+                "csr": mp,
+                "ell1": self._ell["tbl1"], "off1": self._ell["off1"],
+                "ell2": self._ell["tbl2"], "off2": self._ell["off2"],
+            }
+            if mp_np is not None:
+                flat, cleared = mask_ell_flat_positions(
+                    pos_b, mp_np, self._indptr_np, self._ell["off1_np"],
+                    self.cfg.pad_deg)
+                aux["ell_flat"] = jnp.asarray(flat)
+                aux["ell_cleared"] = jnp.asarray(cleared)
+            mp = aux
         return (
             jnp.asarray(pos_b.astype(np.int32)),
             jnp.asarray(neg_b.astype(np.int32)),
@@ -711,6 +788,14 @@ class Trainer:
     def train_epoch(self, state: TrainState, rng: np.random.Generator,
                     epoch: int) -> Tuple[TrainState, float]:
         cfg = self.cfg
+        if self._use_ell and (
+            self._ell is None or (epoch - 1) % max(cfg.ell_refresh, 1) == 0
+        ):
+            # derived, stream-neutral rng: the main `rng` stream stays
+            # byte-identical to an ell_tables=False run (clean A/Bs, and the
+            # per-run batch/negative sequence is independent of this feature)
+            self._refresh_ell(np.random.default_rng(
+                (epoch * 0x9E3779B1 + 0x85EBCA77) & 0xFFFFFFFF))
         pos = self.train_edges  # (2, E)
         e = pos.shape[1]
         perm = rng.permutation(e)

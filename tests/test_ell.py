@@ -1,0 +1,140 @@
+"""ELL window tables (sparse/ell.py): the descriptor-rate gather redesign.
+
+TPU gathers are descriptor-rate-bound (BENCH_NOTES.md round 2), so the
+per-chunk (B, K) flat-position window gathers are re-laid-out as (B,) row
+gathers of frozen (N, K) tables.  The tables must be a pure LAYOUT change:
+with matching window offsets the math is bit-identical to the CSR window
+path, including maskinput.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocn_tpu.config import Config
+from ocn_tpu.data.loaders import synthetic_dataset
+from ocn_tpu.ops.frame import gather_neighbors
+from ocn_tpu.sparse import build as B
+from ocn_tpu.sparse import ell as ELL
+from ocn_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset("Cora", seed=0, scale=0.2)
+
+
+def _cfg(ell, **kw):
+    base = dict(
+        dataset="Cora", predictor="cn5", model="puregcn", mplayers=1,
+        hiddim=32, batch_size=256, testbs=256, maskinput=True,
+        pad_deg=64, pad_deg2=192, linkbatchsize=64, adj2_cap=1024,
+        gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
+        ell_tables=ell,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(tr, ds, seed=0):
+    rng = np.random.default_rng(seed)
+    e = ds.split_edge["train"]["edge"].shape[0]
+    pos = np.asarray(ds.split_edge["train"]["edge"]).T
+    neg = B.negative_sampling(ds.edge_index, ds.n_nodes, e, rng)
+    idx = rng.permutation(e)[: tr.cfg.batch_size]
+    return tr.prepare_batch(pos[:, idx], neg[:, idx], idx)
+
+
+def test_gather_equality_zero_offsets(ds):
+    """With off == 0 the ELL row gather must reproduce the key=None CSR
+    window gather exactly — ids, weights, and feature-window positions —
+    including rows with degree > k (capped, deterministic first-k)."""
+    g = ds.as_graph()
+    k = 8  # well below maxdeg=37: capping binds
+    off = np.zeros(g.n_nodes, np.int32)
+    tbl = ELL.build_ell(g.packed, g.indptr, jnp.asarray(off), k)
+    ge = g.with_ell(tbl, jnp.asarray(off))
+    nodes = jnp.asarray(
+        np.random.default_rng(1).integers(0, g.n_nodes, 512).astype(np.int32))
+    a = gather_neighbors(g, nodes, k, key=None)
+    b = gather_neighbors(ge, nodes, k, key=None)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_subwindow_width(ds):
+    """k < ell_k takes the leading lanes of the frozen window (dual-K small
+    body / pad_deg2_dst): must equal a fresh k-wide ELL at the same offsets
+    for rows that fit, and carry the deg/k reweight for capped rows."""
+    g = ds.as_graph()
+    off = np.zeros(g.n_nodes, np.int32)
+    tbl = ELL.build_ell(g.packed, g.indptr, jnp.asarray(off), 16)
+    ge = g.with_ell(tbl, jnp.asarray(off))
+    nodes = jnp.asarray(np.arange(300, dtype=np.int32))
+    a = gather_neighbors(g, nodes, 4, key=None)
+    b = gather_neighbors(ge, nodes, 4, key=None)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))
+
+
+@pytest.mark.parametrize("mask", [False, True])
+def test_step_exactness_uncapped(ds, mask):
+    """On a graph where no cap binds (pad_deg > maxdeg, pad_deg2 > max A^2
+    degree), the ELL path must produce the EXACT loss of the plain path for
+    the same inputs — window offsets are all zero, so the frozen sample is
+    the full row; maskinput must clear the same entries in both layouts."""
+    tr_e = Trainer(_cfg(True, maskinput=mask), ds)
+    tr_p = Trainer(_cfg(False, maskinput=mask), ds)
+    assert tr_e._use_ell
+    tr_e._refresh_ell(np.random.default_rng(7))
+    pe, ne, mpe, _, _ = _batch(tr_e, ds)
+    pp, nn, mpp, _, _ = _batch(tr_p, ds)
+    assert isinstance(mpe, dict) and not isinstance(mpp, dict)
+    key = jax.random.PRNGKey(3)
+    _, le = tr_e.train_step(tr_e.init_state(0), pe, ne, mpe, key)
+    _, lp = tr_p.train_step(tr_p.init_state(0), pp, nn, mpp, key)
+    np.testing.assert_allclose(float(le), float(lp), rtol=0, atol=0)
+
+
+def test_mask_positions_host_math(ds):
+    """mask_ell_flat_positions: in-window directions map to row*k+lane with
+    the partner id as cleared value; out-of-window directions return -1."""
+    g = ds.as_graph()
+    ip = np.asarray(g.indptr)
+    col = np.asarray(g.col)
+    edges = np.asarray(ds.split_edge["train"]["edge"]).T[:, :50]
+    e2p = np.asarray(B.edge_to_nnz_positions(ip, col, edges))
+    mp = np.maximum(e2p.reshape(-1), 0).astype(np.int32)
+    k = 8
+    off = ELL.draw_offsets(ip[1:] - ip[:-1], k, np.random.default_rng(0))
+    flat, cleared = ELL.mask_ell_flat_positions(edges, mp, ip, off, k)
+    rows = np.stack([edges[0], edges[1]], 1).ravel()
+    partners = np.stack([edges[1], edges[0]], 1).ravel()
+    for i in range(flat.shape[0]):
+        lane = int(mp[i]) - int(ip[rows[i]]) - int(off[rows[i]])
+        if 0 <= lane < k:
+            assert flat[i] == rows[i] * k + lane
+            # the CSR entry at that position IS the partner column
+            assert col[mp[i]] == partners[i] == cleared[i]
+        else:
+            assert flat[i] == -1
+
+
+def test_train_epoch_rng_stream_neutral(ds):
+    """ell_tables must not shift the main epoch rng stream: the first batch
+    of an epoch is identical between ell on/off runs."""
+    tr_e = Trainer(_cfg(True), ds)
+    tr_p = Trainer(_cfg(False), ds)
+    se, le = tr_e.train_epoch(tr_e.init_state(0), np.random.default_rng(5), 1)
+    sp, lp = tr_p.train_epoch(tr_p.init_state(0), np.random.default_rng(5), 1)
+    np.testing.assert_allclose(float(le), float(lp), rtol=0, atol=0)
+
+
+def test_split_with_ell_runs(ds):
+    cfg = _cfg(True, k_small=8, pad_deg=16, losstrick="simple")
+    tr = Trainer(cfg, ds)
+    assert tr._split is not None and tr._use_ell
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(2), 1)
+    assert np.isfinite(loss)
