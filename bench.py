@@ -42,8 +42,9 @@ def main():
     hoist = os.environ.get("OCN_BENCH_HOIST", "0") == "1"
     group = int(os.environ.get("OCN_BENCH_GROUP", "4"))
 
+    predictor = os.environ.get("OCN_BENCH_PREDICTOR", "cn5")
     cfg = Config(
-        dataset="collab", predictor="cn5", model="gcn", mplayers=3,
+        dataset="collab", predictor=predictor, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
         ln=True, res=True, jk=True, use_xlin=True, tailact=True,
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
@@ -119,7 +120,7 @@ def main():
     eps = done / dt
 
     print(json.dumps({
-        "metric": "train_edges_per_s_cn5_collab",
+        "metric": f"train_edges_per_s_{predictor}_collab",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / A100_REF_EDGES_PER_S, 3),
