@@ -41,12 +41,12 @@ from ocn_tpu.data.loaders import loaddataset
 from ocn_tpu.train.loop import Trainer
 
 
-def base_config(graph: str, epochs: int) -> Config:
+def base_config(graph: str, epochs: int, predictor: str = "cn5") -> Config:
     if graph in ("Cora", "Citeseer", "Pubmed"):
-        cfg = presets(graph, "cn5", epochs=epochs, runs=1)
+        cfg = presets(graph, predictor, epochs=epochs, runs=1)
     else:  # sbm
         cfg = Config(
-            dataset="sbm", predictor="cn5", model="puregcn", mplayers=1,
+            dataset="sbm", predictor=predictor, model="puregcn", mplayers=1,
             hiddim=64, batch_size=2048, testbs=4096, epochs=epochs, runs=1,
             maskinput=True, ln=True, lnnn=True, res=True,
             gnndp=0.1, xdp=0.1, tdp=0.1, gnnedp=0.0, predp=0.1, preedp=0.1,
@@ -62,37 +62,43 @@ def variant_overrides(name: str, max_deg: int) -> dict:
         # exact CN sets + exact two-hop counts (reference default semantics)
         "exact": dict(pad_deg=pad_exact, pad_deg2=pad_exact,
                       two_hop_mode="sddmm"),
-        # production config (bench.py): caps + precomputed row-capped A^2
+        # production config as measured pre-ELL (ell_tables landed after
+        # these rows; pinned False so the variant keeps meaning)
         "capped": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                       adj2_cap=1024),
+                       adj2_cap=1024, ell_tables=False),
+        # CURRENT production: caps + ELL frozen-window tables (sparse/ell.py).
+        # Isolates the per-refresh (vs per-chunk) window-resample granularity
+        # on a graph where the caps bind (Cora stand-in max deg 104 > 64)
+        "capped_ell": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                           adj2_cap=1024, ell_tables=True),
         # production + dual-K occupancy split
         "capped_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                           adj2_cap=1024, k_small=16),
+                           adj2_cap=1024, k_small=16, ell_tables=False),
         # deliberately harsh caps (sensitivity curve)
         "hard16": dict(pad_deg=16, pad_deg2=16, two_hop_mode="gather",
-                       adj2_cap=256),
+                       adj2_cap=256, ell_tables=False),
         "hard8": dict(pad_deg=8, pad_deg2=8, two_hop_mode="gather",
-                      adj2_cap=128),
+                      adj2_cap=128, ell_tables=False),
         # dual-K A/B at a chunk size that actually activates the split
         # (capped_k16 at linkbatchsize==batch has nchunk=1 -> split off);
         # both arms share the chunk size so colnorm granularity matches
         "lb256": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                      adj2_cap=1024, linkbatchsize=256),
+                      adj2_cap=1024, linkbatchsize=256, ell_tables=False),
         "lb256_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                          adj2_cap=1024, linkbatchsize=256, k_small=16),
+                          adj2_cap=1024, linkbatchsize=256, k_small=16, ell_tables=False),
         "lb128": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                      adj2_cap=1024, linkbatchsize=128),
+                      adj2_cap=1024, linkbatchsize=128, ell_tables=False),
         "lb128_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                          adj2_cap=1024, linkbatchsize=128, k_small=16),
+                          adj2_cap=1024, linkbatchsize=128, k_small=16, ell_tables=False),
     }
     return table[name]
 
 
 def run_one(graph: str, variant: str, run_i: int, epochs: int,
-            eval_every: int) -> dict:
+            eval_every: int, predictor: str = "cn5") -> dict:
     ds = loaddataset(graph, seed=run_i)
     deg = np.bincount(np.asarray(ds.edge_index[0]), minlength=ds.n_nodes)
-    cfg = base_config(graph, epochs)
+    cfg = base_config(graph, epochs, predictor)
     for k, v in variant_overrides(variant, int(deg.max())).items():
         setattr(cfg, k, v)
     if cfg.reorder == "bfs":
@@ -115,6 +121,7 @@ def run_one(graph: str, variant: str, run_i: int, epochs: int,
               flush=True)
     return {
         "graph": graph, "variant": variant, "run": run_i,
+        "predictor": predictor,
         "epochs": epochs, "wall_s": round(time.time() - t0, 1),
         "pad_deg": cfg.pad_deg, "two_hop_mode": cfg.two_hop_mode,
         "k_small": cfg.k_small,
@@ -126,14 +133,15 @@ def print_table(path: str) -> None:
     rows = [json.loads(l) for l in open(path) if l.strip()]
     agg: dict = {}
     for r in rows:
-        agg.setdefault((r["graph"], r["variant"]), []).append(r)
-    print("| graph | variant | runs | Hits@50 val | Hits@50 test | Hits@100 test |")
-    print("|---|---|---|---|---|---|")
-    for (g, v), rs in sorted(agg.items()):
+        agg.setdefault((r["graph"], r.get("predictor", "cn5"),
+                        r["variant"]), []).append(r)
+    print("| graph | pred | variant | runs | Hits@50 val | Hits@50 test | Hits@100 test |")
+    print("|---|---|---|---|---|---|---|")
+    for (g, p, v), rs in sorted(agg.items()):
         h50v = np.array([x["best"]["Hits@50"][1] for x in rs])
         h50t = np.array([x["best"]["Hits@50"][2] for x in rs])
         h100t = np.array([x["best"]["Hits@100"][2] for x in rs])
-        print(f"| {g} | {v} | {len(rs)} "
+        print(f"| {g} | {p} | {v} | {len(rs)} "
               f"| {h50v.mean():.4f}±{h50v.std():.4f} "
               f"| {h50t.mean():.4f}±{h50t.std():.4f} "
               f"| {h100t.mean():.4f}±{h100t.std():.4f} |")
@@ -146,6 +154,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--eval_every", type=int, default=3)
     ap.add_argument("--variants", default="exact,capped,capped_k16,hard16")
+    ap.add_argument("--predictor", default="cn5")
     ap.add_argument("--out", default="results/parity.jsonl")
     ap.add_argument("--table", action="store_true",
                     help="only print the aggregate table from --out")
@@ -164,16 +173,17 @@ def main():
         for line in open(args.out):
             if line.strip():
                 r = json.loads(line)
-                done.add((r["graph"], r["variant"], r["run"]))
+                done.add((r["graph"], r["variant"], r["run"],
+                          r.get("predictor", "cn5")))
     for variant in args.variants.split(","):
         for run_i in range(args.runs):
-            key = (args.graph, variant, run_i)
+            key = (args.graph, variant, run_i, args.predictor)
             if key in done:
                 print(f"skip {key} (done)", flush=True)
                 continue
             print(f"=== {key}", flush=True)
             rec = run_one(args.graph, variant, run_i, args.epochs,
-                          args.eval_every)
+                          args.eval_every, args.predictor)
             with open(args.out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
     print_table(args.out)
