@@ -365,6 +365,59 @@ def frame_index(ids: jax.Array, n_nodes: int) -> FrameIndex:
     return FrameIndex(perm, inv_perm, rank.astype(jnp.int32), seg, rowidx)
 
 
+def _seg_total(sv: jax.Array, rank: jax.Array) -> jax.Array:
+    """Per-position segment totals of presorted values — ZERO gathers.
+
+    ``sv`` (M,) or (M, P) values sorted by column id, ``rank`` (M,)
+    nondecreasing compact column index.  Replaces the
+    ``segment_sum(...)[rank]`` idiom: on TPU the ``[rank]`` expansion is an
+    M-descriptor gather (descriptor-rate-bound like every gather,
+    BENCH_NOTES.md round 2), while two log-depth associative scans — a
+    segmented inclusive sum followed by a backward fill from segment ends —
+    are purely elementwise."""
+    m = sv.shape[0]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), rank[1:] != rank[:-1]])
+    flag = is_start
+    if sv.ndim == 2:
+        flag = is_start[:, None]
+    flag = jnp.broadcast_to(flag, sv.shape)
+
+    def seg_sum(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av + bv), af | bf
+
+    run, _ = jax.lax.associative_scan(seg_sum, (sv, flag))
+    # segment end flags, reversed; fill-backward = fill-forward on reversal
+    is_end_rev = jnp.concatenate(
+        [jnp.ones((1,), bool), is_start[::-1][:-1]])
+    eflag = is_end_rev if sv.ndim == 1 else is_end_rev[:, None]
+    eflag = jnp.broadcast_to(eflag, sv.shape)
+
+    def fill(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    total_rev, _ = jax.lax.associative_scan(fill, (run[::-1], eflag))
+    return total_rev[::-1]
+
+
+_SEG_SCAN: Optional[bool] = None
+
+
+def _use_seg_scan() -> bool:
+    """Segmented-scan column sums (default ON); OCN_TPU_SEG_SCAN=0 restores
+    the segment_sum + [rank]-gather formulation for A/B."""
+    global _SEG_SCAN
+    if _SEG_SCAN is None:
+        import os
+
+        _SEG_SCAN = os.environ.get("OCN_TPU_SEG_SCAN") not in ("0", "false")
+    return _SEG_SCAN
+
+
 @jax.custom_vjp
 def entry_col_sum(val: jax.Array, perm, rank, inv_perm) -> jax.Array:
     """Per-entry column sums: out[b, k] = sum of val over entries sharing
@@ -374,6 +427,8 @@ def entry_col_sum(val: jax.Array, perm, rank, inv_perm) -> jax.Array:
     is symmetric), so the VJP is the same map applied to the cotangent."""
     m = val.size
     sv = val.reshape(-1)[perm]
+    if _use_seg_scan():
+        return _seg_total(sv, rank)[inv_perm].reshape(val.shape)
     sums = jax.ops.segment_sum(sv, rank, num_segments=m, indices_are_sorted=True)
     return sums[rank][inv_perm].reshape(val.shape)
 
@@ -399,6 +454,11 @@ def entry_col_sum_multi(vals: jax.Array, perm, rank, inv_perm) -> jax.Array:
     batch for free.  Self-adjoint per plane, like entry_col_sum."""
     p = vals.shape[0]
     m = vals[0].size
+    if _use_seg_scan():
+        # (M, P) ROW-shaped permutation trips (one descriptor per entry, not
+        # per entry*plane) + gather-free segment broadcast (_seg_total)
+        sv = vals.reshape(p, -1).T[perm]  # (M, P)
+        return _seg_total(sv, rank)[inv_perm].T.reshape(vals.shape)
     sv = vals.reshape(p, -1)[:, perm].T  # (M, P)
     sums = jax.ops.segment_sum(sv, rank, num_segments=m, indices_are_sorted=True)
     return sums[rank][inv_perm].T.reshape(vals.shape)

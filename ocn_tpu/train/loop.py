@@ -287,13 +287,22 @@ class Trainer:
         )
 
     # ------------------------------------------------------- chunked scoring
+    def _gargs(self):
+        """Graph-side jit arguments.  Passing these as arguments (not jit
+        closure constants) keeps the serialized HLO free of the adjacency
+        payload — adj2 ~180 MB / adj3 ~420 MB at collab scale would otherwise
+        ride inside every compile upload (the cn6 HTTP 413)."""
+        return {"g": self.g, "adj2": self.adj2, "adj3": self.adj3,
+                "x": self.x}
+
     def _chunk(self) -> int:
         cfg = self.cfg
         target = cfg.linkbatchsize if cfg.linkbatchsize > 0 else 4096
         return _largest_divisor_leq(cfg.batch_size, target)
 
     def _score_chunk(self, params, ema, sched, h, g, edges, valid, key, training,
-                     adj2=None, corr=None, y=None, k=None, gather_fn=None):
+                     adj2=None, corr=None, y=None, k=None, gather_fn=None,
+                     adj3=None):
         """Score one (2, C) chunk; returns ((C,) scores, new_ema).
 
         ``adj2``: precomputed A^2 Graph for the "gather" two-hop mode.
@@ -344,7 +353,7 @@ class Trainer:
                 cn3 = cn3_frame(
                     g, edges, src, k2=min(cfg.pad_deg2, 16), k3=16,
                     counts=cfg.cn2_counts,
-                    adj3=self.adj3 if adj2 is not None else None,
+                    adj3=adj3 if adj2 is not None else None,
                 )
                 cn3 = cn3.with_values(cn3.val * valid[:, None])
                 out, upd = self.predictor.apply(
@@ -365,7 +374,7 @@ class Trainer:
 
     def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training,
                      adj2=None, corrs=None, y=None, k=None, i0=0,
-                     gather_fn=None):
+                     gather_fn=None, adj3=None):
         """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema).
 
         ``i0`` offsets the per-chunk RNG fold index so two scan bodies of the
@@ -376,7 +385,7 @@ class Trainer:
             out, ema_n = self._score_chunk(
                 params, ema_c, sched, h, g, e, v,
                 jax.random.fold_in(key, i), training, adj2=adj2, corr=cr, y=y,
-                k=k, gather_fn=gather_fn,
+                k=k, gather_fn=gather_fn, adj3=adj3,
             )
             return (ema_n, i + 1), out
 
@@ -386,7 +395,8 @@ class Trainer:
         return outs.reshape(-1), ema_f
 
     def _scan_scores_grouped(self, params, ema, sched, h, g, edges, valid, key,
-                             training, adj2, corrs, y=None, k=None, i0=0):
+                             training, adj2, corrs, y=None, k=None, i0=0,
+                             adj3=None):  # THREE_HOP never routes here
         """Middle ground between the per-chunk scan and full hoisting: each
         scan step builds CN frames for `frame_group` chunks in one vectorized
         shot, then applies the predictor per chunk (column-normalization
@@ -449,7 +459,7 @@ class Trainer:
         return outs.reshape(-1), ema_f
 
     def _scan_scores_hoisted(self, params, ema, sched, h, g, edges, valid, key,
-                             training, adj2, corrs, y=None):
+                             training, adj2, corrs, y=None, adj3=None):
         """Frame-based fast path: extract CN frames for the WHOLE batch in one
         vectorized shot (gathers/membership outside the serialized scan), then
         scan the predictor over per-chunk frame slices.  Column sums stay
@@ -559,17 +569,17 @@ class Trainer:
                 return g.with_ell(tbl, mp["off1"])
             return base_g.mask_edges(mask_positions)
 
-        def local_adj2(mask_positions):
+        def local_adj2(mask_positions, adj2):
             # A^2 needs no maskinput treatment (the self-path correction in
             # cn_frames handles it), but its window gathers ride the same
             # ELL layout when tables are on
             if isinstance(mask_positions, dict) and "ell2" in mask_positions:
-                return self.adj2.with_ell(
+                return adj2.with_ell(
                     mask_positions["ell2"], mask_positions["off2"])
-            return self.adj2
+            return adj2
 
         def train_step(state: TrainState, pos, neg, mask_positions, key,
-                       inv_p=None, inv_n=None):
+                       inv_p, inv_n, gargs):
             c = self._chunk()
             b = pos.shape[1]
             nchunk = b // c
@@ -578,8 +588,9 @@ class Trainer:
             # while compiling a single scan body
             posc = pos.reshape(2, nchunk, c).transpose(1, 0, 2)
             negc = neg.reshape(2, nchunk, c).transpose(1, 0, 2)
-            g = masked_graph(self.g, mask_positions)
-            adj2 = local_adj2(mask_positions)
+            g = masked_graph(gargs["g"], mask_positions)
+            adj2 = local_adj2(mask_positions, gargs["adj2"])
+            adj3 = gargs["adj3"]
             k_enc, k_lnk = jax.random.split(key)
             split = self._split
             if split is not None and (inv_p is None or inv_n is None):
@@ -598,7 +609,7 @@ class Trainer:
 
             def loss_fn(params, ema):
                 h = self.encoder.apply(
-                    {"params": params["encoder"]}, self.x, g, True,
+                    {"params": params["encoder"]}, gargs["x"], g, True,
                     rngs={"dropout": k_enc},
                 )
                 h = self._constrain_tp(h)
@@ -624,7 +635,7 @@ class Trainer:
                     out, ema2 = scan_fn(
                         params, ema, state.sched, h, g, allc, validc, k_lnk,
                         True, adj2=adj2, corrs=corrs_for(nchunk, nchunk),
-                        y=y)
+                        y=y, adj3=adj3)
                     return self._loss(out[:b], out[b:]), ema2
 
                 # dual-K occupancy split: batches arrive sorted by source
@@ -645,14 +656,14 @@ class Trainer:
                         params, ema_c, state.sched, h, g, small,
                         jnp.ones((nsp + nsn, c), self.dtype), k_lnk, True,
                         adj2=adj2, corrs=corrs_for(nsp, nsn), y=y,
-                        k=cfg.k_small)
+                        k=cfg.k_small, adj3=adj3)
                 if nbp + nbn > 0:
                     big = jnp.concatenate([posc[nsp:], negc[nsn:]], axis=0)
                     out_b, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, big,
                         jnp.ones((nbp + nbn, c), self.dtype), k_lnk, True,
-                        adj2=adj2, corrs=corrs_for(nbp, nbn), y=y,
-                        i0=(nsp + nsn) // grp)
+                        i0=(nsp + nsn) // grp, adj2=adj2,
+                        corrs=corrs_for(nbp, nbn), y=y, adj3=adj3)
                 if out_b is None:
                     pos_sorted, neg_sorted = out_s[: nsp * c], out_s[nsp * c:]
                 elif out_s is None:
@@ -684,46 +695,79 @@ class Trainer:
 
             if self._split is None:
 
-                def train_step5(state, pos, neg, mask_positions, key):
-                    return train_step(state, pos, neg, mask_positions, key)
+                def train_step5(state, pos, neg, mask_positions, key, gargs):
+                    return train_step(state, pos, neg, mask_positions, key,
+                                      None, None, gargs)
 
-                self.train_step = jax.jit(
+                jitted = jax.jit(
                     train_step5,
-                    in_shardings=(rep, edg, edg, rep, rep),
+                    in_shardings=(rep, edg, edg, rep, rep, rep),
                     out_shardings=(rep, rep),
                     donate_argnums=(0,),
                 )
+
+                def train_step_wrap(state, pos, neg, mask_positions, key,
+                                    inv_p=None, inv_n=None):
+                    return jitted(state, pos, neg, mask_positions, key,
+                                  self._gargs())
+
+                self.train_step = train_step_wrap
             else:
                 # dual-K split on the GSPMD mesh: the scan over chunks stays
                 # serialized (edges shard WITHIN each chunk over "dp"), so the
                 # two scan bodies run the same program on every device; the
                 # inverse permutations are replicated and GSPMD inserts the
                 # gather resharding for the score reordering
-                self.train_step = jax.jit(
+                jitted = jax.jit(
                     train_step,
-                    in_shardings=(rep, edg, edg, rep, rep, rep, rep),
+                    in_shardings=(rep, edg, edg, rep, rep, rep, rep, rep),
                     out_shardings=(rep, rep),
                     donate_argnums=(0,),
                 )
+
+                def train_step_wrap(state, pos, neg, mask_positions, key,
+                                    inv_p=None, inv_n=None):
+                    return jitted(state, pos, neg, mask_positions, key,
+                                  inv_p, inv_n, self._gargs())
+
+                self.train_step = train_step_wrap
         else:
-            self.train_step = jax.jit(train_step, donate_argnums=(0,))
+            jitted = jax.jit(train_step, donate_argnums=(0,))
 
-        def encode(params, g):
-            return self.encoder.apply({"params": params["encoder"]}, self.x, g, False)
+            def train_step_wrap(state, pos, neg, mask_positions, key,
+                                inv_p=None, inv_n=None):
+                # graph arrays ride as ARGUMENTS: embedding them as jit
+                # closure constants inflates the HLO by the full adjacency
+                # payload (adj2 ~180 MB, adj3 ~420 MB at collab scale), which
+                # overflows the remote-compile upload (HTTP 413 for cn6) and
+                # slows every compile
+                return jitted(state, pos, neg, mask_positions, key,
+                              inv_p, inv_n, self._gargs())
 
-        self.encode = jax.jit(encode)
+            self.train_step = train_step_wrap
 
-        def score(params, ema, sched, h, g, adj2, edges, valid, key):
+        def encode(params, x, g):
+            return self.encoder.apply({"params": params["encoder"]}, x, g, False)
+
+        _encode_jit = jax.jit(encode)
+        self.encode = lambda params, g: _encode_jit(params, self.x, g)
+
+        def score(params, ema, sched, h, g, adj2, adj3, edges, valid, key):
             y = None
             if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
                 y = h[g.col]
             out, _ = self._score_chunk(
                 params, ema, sched, h, g, edges, valid,
-                key, False, adj2=adj2, y=y,
+                key, False, adj2=adj2, y=y, adj3=adj3,
             )
             return out
 
-        self.score = jax.jit(score)
+        _score_jit = jax.jit(score)
+        # adj3 rides as an argument like the rest of the graph arrays (it is
+        # the largest one — see _gargs)
+        self.score = (lambda params, ema, sched, h, g, adj2, edges, valid,
+                      key: _score_jit(params, ema, sched, h, g, adj2,
+                                      self.adj3, edges, valid, key))
 
     # ------------------------------------------------------------- epoch API
     def prepare_batch(self, pos_b: np.ndarray, neg_b: np.ndarray,
