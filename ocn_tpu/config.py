@@ -187,6 +187,11 @@ class Config:
     data_root: str = "dataset"
     synthetic_scale: float = 1.0
     dp_devices: int = 1              # data-parallel mesh size (edge-batch DP)
+    graph_sharding: str = "replicated"  # "node": shard adjacency, A^2 and
+                                     # features over the dp axis with halo-
+                                     # exchange SpMM + owner-gather CN frames
+                                     # (parallel/sharded_graph.py); >HBM
+                                     # graphs.  "replicated": GSPMD mesh path
     tp_devices: int = 1              # tensor-parallel mesh size (hidden shard)
 
     def predictor_kwargs(self) -> dict:

@@ -419,7 +419,8 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         "sharded-graph v1 covers the frame-based predictors (cn1/5/7/8/9)")
     assert cfg.two_hop_mode == "gather" and tr.adj2 is not None, (
         "sharded-graph v1 needs the precomputed A^2 ('gather' mode)")
-    assert not cfg.window_table and not cfg.hoist_frames and cfg.k_small <= 0
+    assert not cfg.window_table and not cfg.hoist_frames
+    assert tr._split is None, "dual-K split is replicated-path only (scope)"
     ndev = mesh.shape[axis]
     c = tr._chunk()
     b = cfg.batch_size

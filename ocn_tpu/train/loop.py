@@ -137,6 +137,7 @@ class Trainer:
         self._indptr_np = np.asarray(self.g.indptr)
         self._use_ell = bool(
             cfg.ell_tables
+            and cfg.graph_sharding != "node"  # sharded CSR windows path
             and self.frame_based
             and self.adj2 is not None
             and self.g.packed is not None
@@ -182,6 +183,9 @@ class Trainer:
             or not self.frame_based
             or cfg.predictor in THREE_HOP
             or cfg.hoist_frames
+            or cfg.graph_sharding == "node"  # contiguous chunk->device
+            # assignment; the degree sort would unbalance static per-device
+            # small/big counts (parallel/sharded_graph.py scope note)
         ):
             return None
         c = self._chunk()
@@ -687,7 +691,24 @@ class Trainer:
                 loss,
             )
 
-        if mesh is not None:
+        if mesh is not None and cfg.graph_sharding == "node":
+            # integrated node-sharded training: adjacency + A^2 + features
+            # sharded over "dp" (parallel/sharded_graph.py); eval stays on
+            # the replicated path below
+            assert cfg.tp_devices == 1, "graph_sharding='node' uses dp only"
+            from ocn_tpu.parallel.sharded_graph import (
+                make_sharded_graph_train_step,
+            )
+
+            sg_step, sg_prepare = make_sharded_graph_train_step(self, mesh)
+
+            def train_step_wrap(state, pos, neg, mask_positions, key,
+                                inv_p=None, inv_n=None):
+                return sg_step(state, jnp.asarray(pos), jnp.asarray(neg),
+                               sg_prepare(mask_positions), key)
+
+            self.train_step = train_step_wrap
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())
