@@ -408,13 +408,19 @@ _SEG_SCAN: Optional[bool] = None
 
 
 def _use_seg_scan() -> bool:
-    """Segmented-scan column sums (default ON); OCN_TPU_SEG_SCAN=0 restores
-    the segment_sum + [rank]-gather formulation for A/B."""
+    """Segmented-scan column sums — opt-in via OCN_TPU_SEG_SCAN=1.
+
+    Measured 2026-08-20 (BENCH_NOTES.md): the gather-free associative-scan
+    formulation LOSES 1.2% e2e vs segment_sum + [rank]-gather at bench shapes
+    (204.1k vs 206.5k edges/s) and compiles ~3x slower (16 vs 5 min) — the
+    log-depth scan passes cost more than the M-descriptor rank gather they
+    replace.  Kept as a tested reference point (tests/test_seg_scan.py),
+    default OFF."""
     global _SEG_SCAN
     if _SEG_SCAN is None:
         import os
 
-        _SEG_SCAN = os.environ.get("OCN_TPU_SEG_SCAN") not in ("0", "false")
+        _SEG_SCAN = os.environ.get("OCN_TPU_SEG_SCAN") in ("1", "true")
     return _SEG_SCAN
 
 
