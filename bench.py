@@ -51,6 +51,7 @@ def main():
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
         frame_group=group,
         k_small=int(os.environ.get("OCN_BENCH_KSMALL", "16")),
+        k_neg=int(os.environ.get("OCN_BENCH_KNEG", "0")),
         pad_deg2_dst=int(os.environ.get("OCN_BENCH_K2DST", "0")),
         window_table=os.environ.get("OCN_BENCH_WINDOW", "0") == "1",
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),

@@ -151,6 +151,14 @@ class Config:
                                      # edge source-degree distribution
     small_frac_neg: float = -1.0     # same for negative chunks; < 0 = auto
                                      # from the node-degree distribution
+    k_neg: int = 0                   # separate frame width for the NEGATIVE
+                                     # small body (third scan body): uniform
+                                     # negatives are degree-distributed like
+                                     # the node population (86% of collab
+                                     # nodes have deg <= 8 vs 39% of train-
+                                     # edge sources), so negatives fit a far
+                                     # narrower frame than positives.
+                                     # 0 = negatives share k_small's body.
     ell_tables: bool = True          # ELL window-table gathers (sparse/
                                      # ell.py): per-node neighbor windows
                                      # frozen per refresh in (N, K) row-

@@ -191,6 +191,7 @@ class Trainer:
         c = self._chunk()
         nchunk = cfg.batch_size // c
         deg = self._deg_np
+        k_neg = cfg.k_neg if 0 < cfg.k_neg < cfg.pad_deg else 0
         if cfg.small_frac >= 0:
             fp = cfg.small_frac
         else:
@@ -200,17 +201,24 @@ class Trainer:
         elif cfg.neg_mode == "randint_target":
             fneg = fp  # negatives keep the positive sources
         else:
-            fneg = float(np.mean(deg <= cfg.k_small))
+            fneg = float(np.mean(deg <= (k_neg or cfg.k_small)))
         nsp = min(nchunk, int(fp * nchunk))
         nsn = min(nchunk, int(fneg * nchunk))
         grp = cfg.frame_group if cfg.frame_group > 1 else 1
-        # both scan bodies need whole groups; shrinking moves edges to the
-        # big body (safe: no extra capping)
-        while nsp + nsn > 0 and (nsp + nsn) % grp:
-            if nsn >= nsp and nsn > 0:
-                nsn -= 1
-            else:
-                nsp -= 1
+        if k_neg and k_neg != cfg.k_small:
+            # separate neg body (third scan body): each body needs whole
+            # groups on its own
+            nsp -= nsp % grp
+            nsn -= nsn % grp
+        else:
+            # both sides share the k_small body; only the combined count
+            # needs whole groups — shrinking moves edges to the big body
+            # (safe: no extra capping)
+            while nsp + nsn > 0 and (nsp + nsn) % grp:
+                if nsn >= nsp and nsn > 0:
+                    nsn -= 1
+                else:
+                    nsp -= 1
         if nsp + nsn == 0:
             return None
         return nsp, nsn
@@ -652,31 +660,53 @@ class Trainer:
                 nsp, nsn = split
                 nbp, nbn = nchunk - nsp, nchunk - nsn
                 grp = cfg.frame_group if scan_fn is self._scan_scores_grouped else 1
+                k_neg = cfg.k_neg if 0 < cfg.k_neg < cfg.pad_deg else 0
                 ema_c = ema
-                out_s = out_b = None
-                if nsp + nsn > 0:
+                pos_parts, neg_parts = [], []
+                i0 = 0
+                if k_neg and k_neg != cfg.k_small:
+                    # THREE bodies: pos-small at k_small, neg-small at k_neg
+                    # (uniform negatives are much lower-degree than train-edge
+                    # sources), tail at pad_deg
+                    if nsp > 0:
+                        out_ps, ema_c = scan_fn(
+                            params, ema_c, state.sched, h, g, posc[:nsp],
+                            jnp.ones((nsp, c), self.dtype), k_lnk, True,
+                            adj2=adj2, corrs=corrs_for(nsp, 0), y=y,
+                            k=cfg.k_small, adj3=adj3)
+                        pos_parts.append(out_ps)
+                        i0 += nsp // grp
+                    if nsn > 0:
+                        out_ns, ema_c = scan_fn(
+                            params, ema_c, state.sched, h, g, negc[:nsn],
+                            jnp.ones((nsn, c), self.dtype), k_lnk, True,
+                            i0=i0, adj2=adj2, corrs=corrs_for(0, nsn), y=y,
+                            k=k_neg, adj3=adj3)
+                        neg_parts.append(out_ns)
+                        i0 += nsn // grp
+                elif nsp + nsn > 0:
                     small = jnp.concatenate([posc[:nsp], negc[:nsn]], axis=0)
                     out_s, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, small,
                         jnp.ones((nsp + nsn, c), self.dtype), k_lnk, True,
                         adj2=adj2, corrs=corrs_for(nsp, nsn), y=y,
                         k=cfg.k_small, adj3=adj3)
+                    pos_parts.append(out_s[: nsp * c])
+                    neg_parts.append(out_s[nsp * c:])
+                    i0 = (nsp + nsn) // grp
                 if nbp + nbn > 0:
                     big = jnp.concatenate([posc[nsp:], negc[nsn:]], axis=0)
                     out_b, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, big,
                         jnp.ones((nbp + nbn, c), self.dtype), k_lnk, True,
-                        i0=(nsp + nsn) // grp, adj2=adj2,
+                        i0=i0, adj2=adj2,
                         corrs=corrs_for(nbp, nbn), y=y, adj3=adj3)
-                if out_b is None:
-                    pos_sorted, neg_sorted = out_s[: nsp * c], out_s[nsp * c:]
-                elif out_s is None:
-                    pos_sorted, neg_sorted = out_b[: nbp * c], out_b[nbp * c:]
-                else:
-                    pos_sorted = jnp.concatenate(
-                        [out_s[: nsp * c], out_b[: nbp * c]])
-                    neg_sorted = jnp.concatenate(
-                        [out_s[nsp * c:], out_b[nbp * c:]])
+                    pos_parts.append(out_b[: nbp * c])
+                    neg_parts.append(out_b[nbp * c:])
+                pos_sorted = (pos_parts[0] if len(pos_parts) == 1
+                              else jnp.concatenate(pos_parts))
+                neg_sorted = (neg_parts[0] if len(neg_parts) == 1
+                              else jnp.concatenate(neg_parts))
                 # restore original batch order so per-index pos/neg loss
                 # pairing survives the degree sort
                 return self._loss(pos_sorted[inv_p], neg_sorted[inv_n]), ema_c
