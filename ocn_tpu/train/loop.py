@@ -206,10 +206,10 @@ class Trainer:
         nsn = min(nchunk, int(fneg * nchunk))
         grp = cfg.frame_group if cfg.frame_group > 1 else 1
         if k_neg and k_neg != cfg.k_small:
-            # separate neg body (third scan body): each body needs whole
-            # groups on its own
-            nsp -= nsp % grp
-            nsn -= nsn % grp
+            # separate neg body (third scan body): each body picks its own
+            # effective group (largest divisor of its chunk count <= grp) at
+            # call time, so no chunks are demoted to the big body
+            pass
         else:
             # both sides share the k_small body; only the combined count
             # needs whole groups — shrinking moves edges to the big body
@@ -386,7 +386,7 @@ class Trainer:
 
     def _scan_scores(self, params, ema, sched, h, g, edges, valid, key, training,
                      adj2=None, corrs=None, y=None, k=None, i0=0,
-                     gather_fn=None, adj3=None):
+                     gather_fn=None, adj3=None, grp=None):
         """lax.scan over (nchunk, 2, C) edge chunks; returns (scores, ema).
 
         ``i0`` offsets the per-chunk RNG fold index so two scan bodies of the
@@ -408,7 +408,7 @@ class Trainer:
 
     def _scan_scores_grouped(self, params, ema, sched, h, g, edges, valid, key,
                              training, adj2, corrs, y=None, k=None, i0=0,
-                             adj3=None):  # THREE_HOP never routes here
+                             adj3=None, grp=None):  # THREE_HOP never routes here
         """Middle ground between the per-chunk scan and full hoisting: each
         scan step builds CN frames for `frame_group` chunks in one vectorized
         shot, then applies the predictor per chunk (column-normalization
@@ -416,7 +416,7 @@ class Trainer:
         batch."""
         cfg = self.cfg
         k = k or cfg.pad_deg
-        grp = cfg.frame_group
+        grp = grp or cfg.frame_group
         nchunk, _, c = edges.shape
         ngroup = nchunk // grp
         gc = grp * c
@@ -471,7 +471,8 @@ class Trainer:
         return outs.reshape(-1), ema_f
 
     def _scan_scores_hoisted(self, params, ema, sched, h, g, edges, valid, key,
-                             training, adj2, corrs, y=None, adj3=None):
+                             training, adj2, corrs, y=None, adj3=None,
+                             grp=None):
         """Frame-based fast path: extract CN frames for the WHOLE batch in one
         vectorized shot (gathers/membership outside the serialized scan), then
         scan the predictor over per-chunk frame slices.  Column sums stay
@@ -661,29 +662,40 @@ class Trainer:
                 nbp, nbn = nchunk - nsp, nchunk - nsn
                 grp = cfg.frame_group if scan_fn is self._scan_scores_grouped else 1
                 k_neg = cfg.k_neg if 0 < cfg.k_neg < cfg.pad_deg else 0
+
+                def eff_grp(n):
+                    # largest divisor of the body's chunk count <= frame_group
+                    return max(d for d in range(1, min(n, grp) + 1)
+                               if n % d == 0)
+
                 ema_c = ema
                 pos_parts, neg_parts = [], []
                 i0 = 0
                 if k_neg and k_neg != cfg.k_small:
                     # THREE bodies: pos-small at k_small, neg-small at k_neg
                     # (uniform negatives are much lower-degree than train-edge
-                    # sources), tail at pad_deg
+                    # sources), tail at pad_deg.  Each body groups by the
+                    # largest divisor of ITS chunk count <= frame_group, so no
+                    # chunk is ever demoted to the big body for alignment
+                    # (demotion measured -19% e2e, BENCH_NOTES 2026-08-20).
                     if nsp > 0:
+                        gp = eff_grp(nsp)
                         out_ps, ema_c = scan_fn(
                             params, ema_c, state.sched, h, g, posc[:nsp],
                             jnp.ones((nsp, c), self.dtype), k_lnk, True,
                             adj2=adj2, corrs=corrs_for(nsp, 0), y=y,
-                            k=cfg.k_small, adj3=adj3)
+                            k=cfg.k_small, adj3=adj3, grp=gp)
                         pos_parts.append(out_ps)
-                        i0 += nsp // grp
+                        i0 += nsp // gp
                     if nsn > 0:
+                        gn = eff_grp(nsn)
                         out_ns, ema_c = scan_fn(
                             params, ema_c, state.sched, h, g, negc[:nsn],
                             jnp.ones((nsn, c), self.dtype), k_lnk, True,
                             i0=i0, adj2=adj2, corrs=corrs_for(0, nsn), y=y,
-                            k=k_neg, adj3=adj3)
+                            k=k_neg, adj3=adj3, grp=gn)
                         neg_parts.append(out_ns)
-                        i0 += nsn // grp
+                        i0 += nsn // gn
                 elif nsp + nsn > 0:
                     small = jnp.concatenate([posc[:nsp], negc[:nsn]], axis=0)
                     out_s, ema_c = scan_fn(
@@ -699,7 +711,7 @@ class Trainer:
                     out_b, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, big,
                         jnp.ones((nbp + nbn, c), self.dtype), k_lnk, True,
-                        i0=i0, adj2=adj2,
+                        i0=i0, adj2=adj2, grp=eff_grp(nbp + nbn),
                         corrs=corrs_for(nbp, nbn), y=y, adj3=adj3)
                     pos_parts.append(out_b[: nbp * c])
                     neg_parts.append(out_b[nbp * c:])

@@ -238,9 +238,8 @@ def test_three_body_training_runs(group):
     cfg = _cfg(k_small=8, k_neg=4, pad_deg=16, frame_group=group, epochs=2)
     tr = Trainer(cfg, ds)
     assert tr._split is not None
-    nsp, nsn = tr._split
-    if group > 1:
-        assert nsp % group == 0 and nsn % group == 0
+    # no grp-alignment rounding: each body picks its own effective group at
+    # call time (chunk demotion to the big body measured -19% e2e)
     state = tr.init_state(0)
     rng = np.random.default_rng(0)
     for epoch in range(2):
