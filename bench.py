@@ -40,7 +40,7 @@ def main():
     steps = int(os.environ.get("OCN_BENCH_STEPS", "10"))
     chunk = int(os.environ.get("OCN_BENCH_CHUNK", "4096"))
     hoist = os.environ.get("OCN_BENCH_HOIST", "0") == "1"
-    group = int(os.environ.get("OCN_BENCH_GROUP", "4"))
+    group = int(os.environ.get("OCN_BENCH_GROUP", "8"))
 
     predictor = os.environ.get("OCN_BENCH_PREDICTOR", "cn5")
     cfg = Config(
