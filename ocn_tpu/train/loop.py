@@ -981,14 +981,17 @@ class Trainer:
         adjacency for the test split."""
         se = self.ds.split_edge
         h = self.encode(state.params, self.g)
-        pos_train = self._score_split(state, h, self.g, se["train"]["edge"], self.adj2)
-        pos_valid = self._score_split(state, h, self.g, se["valid"]["edge"], self.adj2)
-        neg_valid = self._score_split(state, h, self.g, se["valid"]["edge_neg"], self.adj2)
+        g_eval, a2_eval = self._eval_graphs()
+        pos_train = self._score_split(state, h, g_eval, se["train"]["edge"], a2_eval)
+        pos_valid = self._score_split(state, h, g_eval, se["valid"]["edge"], a2_eval)
+        neg_valid = self._score_split(state, h, g_eval, se["valid"]["edge_neg"], a2_eval)
         if self.cfg.use_valedges_as_input:
             h = self.encode(state.params, self.full_g)
+            # full-graph adjacency has its own (bigger) edge set; the train
+            # ELL tables do not apply
             g_test, a2_test = self.full_g, self.full_adj2
         else:
-            g_test, a2_test = self.g, self.adj2
+            g_test, a2_test = g_eval, a2_eval
         pos_test = self._score_split(state, h, g_test, se["test"]["edge"], a2_test)
         neg_test = self._score_split(state, h, g_test, se["test"]["edge_neg"], a2_test)
         results = {}
@@ -1000,18 +1003,32 @@ class Trainer:
             )
         return results
 
+    def _eval_graphs(self):
+        """(g, adj2) for eval scoring — with the current refresh's ELL window
+        tables attached when available (`Config.ell_eval`): rows with degree
+        <= pad_deg score bit-identically (tests/test_ell.py), capped rows use
+        the frozen window sample instead of a per-chunk random one (same
+        estimator, PARITY.md §7; accuracy A/Bs in BASELINE.md).  Measured
+        +42% eval throughput on chip — 104.2k vs 73.6k edges/s
+        (BENCH_NOTES 2026-08-20)."""
+        if self.cfg.ell_eval and self._use_ell and self._ell is not None:
+            return (self.g.with_ell(self._ell["tbl1"], self._ell["off1"]),
+                    self.adj2.with_ell(self._ell["tbl2"], self._ell["off2"]))
+        return self.g, self.adj2
+
     def evaluate_mrr(self, state: TrainState) -> Dict[str, float]:
         """citation2-style MRR eval (NeighborOverlapCitation2.py:235-259)."""
         se = self.ds.split_edge
         h = self.encode(state.params, self.g)
+        g_eval, a2_eval = self._eval_graphs()
         out = {}
         for part in ("valid", "test"):
             src = se[part]["source_node"]
             tgt = se[part]["target_node"]
             negs = se[part]["target_node_neg"]  # (n, num_neg)
-            pos = self._score_split(state, h, self.g, np.stack([src, tgt], 1), self.adj2)
+            pos = self._score_split(state, h, g_eval, np.stack([src, tgt], 1), a2_eval)
             n, m = negs.shape
             flat = np.stack([np.repeat(src, m), negs.reshape(-1)], 1)
-            neg = self._score_split(state, h, self.g, flat, self.adj2).reshape(n, m)
+            neg = self._score_split(state, h, g_eval, flat, a2_eval).reshape(n, m)
             out[part] = M.mrr(pos, neg)
         return out
