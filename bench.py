@@ -43,8 +43,9 @@ def main():
     group = int(os.environ.get("OCN_BENCH_GROUP", "8"))
 
     predictor = os.environ.get("OCN_BENCH_PREDICTOR", "cn5")
+    dataset = os.environ.get("OCN_BENCH_DATASET", "collab")
     cfg = Config(
-        dataset="collab", predictor=predictor, model="gcn", mplayers=3,
+        dataset=dataset, predictor=predictor, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
         ln=True, res=True, jk=True, use_xlin=True, tailact=True,
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
@@ -57,7 +58,7 @@ def main():
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
         ell_tables=os.environ.get("OCN_BENCH_ELL", "1") == "1",
     )
-    ds = synthetic_dataset("collab", seed=0, scale=scale)
+    ds = synthetic_dataset(dataset, seed=0, scale=scale)
     if os.environ.get("OCN_BENCH_REORDER", "bfs") == "bfs":
         # BFS node relabeling clusters neighbor gathers (BENCH_NOTES.md)
         ds = ds.reorder_bfs()
@@ -121,7 +122,7 @@ def main():
     eps = done / dt
 
     print(json.dumps({
-        "metric": f"train_edges_per_s_{predictor}_collab",
+        "metric": f"train_edges_per_s_{predictor}_{dataset}",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / A100_REF_EDGES_PER_S, 3),
