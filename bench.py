@@ -57,6 +57,7 @@ def main():
         window_table=os.environ.get("OCN_BENCH_WINDOW", "0") == "1",
         dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
         ell_tables=os.environ.get("OCN_BENCH_ELL", "1") == "1",
+        adj2_cap=int(os.environ.get("OCN_BENCH_ADJ2CAP", "1024")),
     )
     ds = synthetic_dataset(dataset, seed=0, scale=scale)
     if os.environ.get("OCN_BENCH_REORDER", "bfs") == "bfs":
