@@ -26,22 +26,60 @@ from ocn_tpu.sparse.csr import Graph
 import functools
 
 
+# (E, H) intermediates above this many bytes are computed in edge blocks:
+# XLA materializes the message tensor val[:,None]*x[col] feeding segment_sum,
+# which at ogbl-ppa scale (E=57.6M, H=256, bf16) is a 29 GB allocation — far
+# past one chip's HBM (measured OOM 19.2/15.75 GB at half scale).  Blocking
+# the edge dimension under lax.scan bounds it to ~block*H*dtype while keeping
+# the math exact (per-block sorted segment-sums summed into the (N, H)
+# accumulator).  Collab-scale graphs (676 MB) stay on the one-shot path.
+_SPMM_BLOCK_BYTES = 1 << 31  # 2 GB
+
+
+def _blocked_segment_spmm(x, col, row, val, n_nodes):
+    """sum_p val[p] * x[col[p]] into rows, lax.scan over edge blocks."""
+    e = col.shape[0]
+    h = x.shape[-1]
+    bytes_full = e * h * jnp.dtype(x.dtype).itemsize
+    if bytes_full <= _SPMM_BLOCK_BYTES:
+        msg = val[:, None] * x[col]
+        return jax.ops.segment_sum(
+            msg, row, num_segments=n_nodes, indices_are_sorted=True
+        )
+    nblk = -(-bytes_full // _SPMM_BLOCK_BYTES)
+    blk = -(-e // nblk)
+    pad = nblk * blk - e
+    # padding rows point at the last node with val 0 — contribute nothing
+    colp = jnp.pad(col, (0, pad), constant_values=n_nodes - 1).reshape(nblk, blk)
+    rowp = jnp.pad(row, (0, pad), constant_values=n_nodes - 1).reshape(nblk, blk)
+    valp = jnp.pad(val, (0, pad)).reshape(nblk, blk)
+
+    def body(acc, inp):
+        c, r, v = inp
+        msg = v[:, None] * x[c]
+        return acc + jax.ops.segment_sum(
+            msg, r, num_segments=n_nodes, indices_are_sorted=True
+        ), 0
+
+    acc0 = jnp.zeros((n_nodes, h), jnp.promote_types(x.dtype, val.dtype))
+    out, _ = jax.lax.scan(body, acc0, (colp, rowp, valp))
+    return out.astype(jnp.promote_types(x.dtype, val.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _spmm_sum_sym(x, col, row, val, n_nodes, tpos):
     """Sum-SpMM with a transpose-permutation backward.
 
     Forward: out[u] = sum_{p: row[p]==u} val[p] * x[col[p]]  — a SORTED
-    segment-sum (row is the CSR row expansion).
+    segment-sum (row is the CSR row expansion), edge-blocked past 2 GB of
+    (E, H) intermediate (_blocked_segment_spmm).
 
     Backward: dx[k] = sum_{p: col[p]==k} val[p] * dout[row[p]].  Re-indexing
     through the transpose permutation q -> tpos[q] turns this into another
     SORTED segment-sum over `row` — no scatter, which on TPU is the
     difference between roofline and ~10x off (measured: 3-layer encoder
     fwd+bwd 288 ms -> see bench notes)."""
-    msg = val[:, None] * x[col]
-    return jax.ops.segment_sum(
-        msg, row, num_segments=n_nodes, indices_are_sorted=True
-    )
+    return _blocked_segment_spmm(x, col, row, val, n_nodes)
 
 
 def _spmm_sum_sym_fwd(x, col, row, val, n_nodes, tpos):
@@ -51,12 +89,24 @@ def _spmm_sum_sym_fwd(x, col, row, val, n_nodes, tpos):
 def _spmm_sum_sym_bwd(n_nodes, res, dout):
     x, col, row, val, tpos = res
     # dx[k] = sum over entries q with row[q]==k of val[tpos[q]] * dout[col[q]]
-    contrib = val[tpos][:, None] * dout[col]
-    dx = jax.ops.segment_sum(
-        contrib, row, num_segments=n_nodes, indices_are_sorted=True
-    ).astype(x.dtype)
-    # dval[p] = <x[col[p]], dout[row[p]]>
-    dval = jnp.sum(x[col] * dout[row], axis=-1).astype(val.dtype)
+    dx = _blocked_segment_spmm(
+        dout, col, row, val[tpos], n_nodes).astype(x.dtype)
+    # dval[p] = <x[col[p]], dout[row[p]]> — blocked the same way (two (E, H)
+    # gathers feed an edgewise reduce)
+    e = col.shape[0]
+    h = x.shape[-1]
+    if e * h * jnp.dtype(x.dtype).itemsize <= _SPMM_BLOCK_BYTES:
+        dval = jnp.sum(x[col] * dout[row], axis=-1).astype(val.dtype)
+    else:
+        nblk = -(-(e * h * jnp.dtype(x.dtype).itemsize) // _SPMM_BLOCK_BYTES)
+        blk = -(-e // nblk)
+        pad = nblk * blk - e
+        colp = jnp.pad(col, (0, pad)).reshape(nblk, blk)
+        rowp = jnp.pad(row, (0, pad)).reshape(nblk, blk)
+        dv, _ = jax.lax.scan(
+            lambda _, inp: (0, jnp.sum(x[inp[0]] * dout[inp[1]], axis=-1)),
+            0, (colp, rowp))
+        dval = dv.reshape(-1)[:e].astype(val.dtype)
     return dx, None, None, dval, None
 
 
@@ -66,10 +116,7 @@ _spmm_sum_sym.defvjp(_spmm_sum_sym_fwd, _spmm_sum_sym_bwd)
 def _spmm_sum(g: Graph, x: jax.Array) -> jax.Array:
     if g.tpos is not None:
         return _spmm_sum_sym(x, g.col, g.row, g.val, g.n_nodes, g.tpos)
-    msg = g.val[:, None] * x[g.col]
-    return jax.ops.segment_sum(
-        msg, g.row, num_segments=g.n_nodes, indices_are_sorted=True
-    )
+    return _blocked_segment_spmm(x, g.col, g.row, g.val, g.n_nodes)
 
 
 def spmm(g: Graph, x: jax.Array, aggr: str = "sum") -> jax.Array:

@@ -378,3 +378,29 @@ def test_window_matmul_matches_gather(rng):
     g1 = jax.grad(lambda *a: run(*a, False), argnums=(0, 1, 2))(x, v1, v2)
     for a, b_ in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_spmm_matches_oneshot(monkeypatch):
+    """Edge-blocked SpMM (large-E path, ops/spmm._blocked_segment_spmm):
+    forcing tiny blocks must reproduce the one-shot forward AND both custom
+    VJP paths exactly (the blocks are exact partial sums)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ocn_tpu.ops.spmm as S
+    from ocn_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset("Cora", seed=0, scale=0.1)
+    g = ds.as_graph()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 16)), jnp.float32)
+
+    def f(x):
+        return jnp.sum(S.spmm(g, x) ** 2)
+
+    y0, g0 = jax.value_and_grad(f)(x)
+    monkeypatch.setattr(S, "_SPMM_BLOCK_BYTES", 4096)  # force many blocks
+    y1, g1 = jax.value_and_grad(f)(x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=2e-5,
+                               atol=1e-5)
