@@ -375,7 +375,6 @@ def _seg_total(sv: jax.Array, rank: jax.Array) -> jax.Array:
     BENCH_NOTES.md round 2), while two log-depth associative scans — a
     segmented inclusive sum followed by a backward fill from segment ends —
     are purely elementwise."""
-    m = sv.shape[0]
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), rank[1:] != rank[:-1]])
     flag = is_start

@@ -40,7 +40,10 @@ def _blocked_segment_spmm(x, col, row, val, n_nodes):
     """sum_p val[p] * x[col[p]] into rows, lax.scan over edge blocks."""
     e = col.shape[0]
     h = x.shape[-1]
-    bytes_full = e * h * jnp.dtype(x.dtype).itemsize
+    # the materialized message tensor is in the PROMOTED dtype (bf16 x with
+    # f32 val doubles the per-element size vs x.dtype)
+    msg_dtype = jnp.promote_types(x.dtype, val.dtype)
+    bytes_full = e * h * jnp.dtype(msg_dtype).itemsize
     if bytes_full <= _SPMM_BLOCK_BYTES:
         msg = val[:, None] * x[col]
         return jax.ops.segment_sum(
@@ -95,10 +98,13 @@ def _spmm_sum_sym_bwd(n_nodes, res, dout):
     # gathers feed an edgewise reduce)
     e = col.shape[0]
     h = x.shape[-1]
-    if e * h * jnp.dtype(x.dtype).itemsize <= _SPMM_BLOCK_BYTES:
+    # two (E, H) gathered operands live at once here (x[col] and dout[row]),
+    # so the per-block budget is halved relative to the forward path
+    bytes_dval = 2 * e * h * jnp.dtype(jnp.promote_types(x.dtype, dout.dtype)).itemsize
+    if bytes_dval <= _SPMM_BLOCK_BYTES:
         dval = jnp.sum(x[col] * dout[row], axis=-1).astype(val.dtype)
     else:
-        nblk = -(-(e * h * jnp.dtype(x.dtype).itemsize) // _SPMM_BLOCK_BYTES)
+        nblk = -(-bytes_dval // _SPMM_BLOCK_BYTES)
         blk = -(-e // nblk)
         pad = nblk * blk - e
         colp = jnp.pad(col, (0, pad)).reshape(nblk, blk)

@@ -84,16 +84,30 @@ def random_search(
     for t in range(trials):
         overrides = sample(space, rng)
         cfg = dataclasses.replace(base, **overrides)
-        res = objective(cfg)
+        # per-trial isolation: an aggressive lr/dropout sample may diverge
+        # (NaN loss) or OOM — log the failure and keep searching instead of
+        # aborting the whole run
+        try:
+            res = objective(cfg)
+        except Exception as e:  # noqa: BLE001 — any trial failure is loggable
+            rec = {"trial": t, "overrides": overrides,
+                   "error": f"{type(e).__name__}: {e}"}
+            with open(path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"[hpo] trial {t}: FAILED ({rec['error']})", flush=True)
+            continue
         rec = {"trial": t, "overrides": overrides, **res}
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        if best is None or rec["val_mean"] > best["val_mean"]:
+        # non-finite val (diverged run) must never become the incumbent
+        if np.isfinite(res["val_mean"]) and (
+                best is None or rec["val_mean"] > best["val_mean"]):
             best = rec
+        best_s = f"{best['val_mean']:.4f}" if best is not None else "n/a"
         print(f"[hpo] trial {t}: val {res['val_mean']:.4f} "
-              f"tst {res['tst_mean']:.4f}  best val {best['val_mean']:.4f}",
+              f"tst {res['tst_mean']:.4f}  best val {best_s}",
               flush=True)
-    assert best is not None, "trials must be >= 1"
+    assert best is not None, "every trial failed or returned non-finite val"
     print(f"[hpo] best: {json.dumps(best)}", flush=True)
     return best
 

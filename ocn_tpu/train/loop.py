@@ -199,7 +199,12 @@ class Trainer:
         if cfg.small_frac_neg >= 0:
             fneg = cfg.small_frac_neg
         elif cfg.neg_mode == "randint_target":
-            fneg = fp  # negatives keep the positive sources
+            # negatives keep the positive sources; when a narrower k_neg body
+            # is active, size it by the sources that actually FIT k_neg —
+            # sizing by the k_small fraction would route sources with degree
+            # in (k_neg, k_small] into the narrow body and cap them extra
+            fneg = fp if not k_neg else float(
+                np.mean(deg[self.train_edges[0]] <= k_neg))
         else:
             fneg = float(np.mean(deg <= (k_neg or cfg.k_small)))
         nsp = min(nchunk, int(fp * nchunk))
