@@ -22,28 +22,77 @@ import numpy as np
 
 A100_REF_EDGES_PER_S = 60_000.0
 
+# env knobs that select a non-default program; used to decide whether the
+# headline line needs a paired defaults rerun (drift discipline: absolute
+# edges/s drifts ±10-15% with the chip/tunnel window, so any variant number
+# must carry a same-window defaults denominator — VERDICT r2 item 9)
+_VARIANT_ENVS = (
+    "OCN_BENCH_SCALE", "OCN_BENCH_BATCH", "OCN_BENCH_CHUNK", "OCN_BENCH_HOIST",
+    "OCN_BENCH_GROUP", "OCN_BENCH_PREDICTOR", "OCN_BENCH_DATASET",
+    "OCN_BENCH_KSMALL", "OCN_BENCH_KNEG", "OCN_BENCH_K2DST",
+    "OCN_BENCH_WINDOW", "OCN_BENCH_DTYPE", "OCN_BENCH_ELL",
+    "OCN_BENCH_ADJ2CAP", "OCN_BENCH_REORDER",
+)
 
-def main():
+
+def chip_anchors():
+    """Same-window chip/tunnel speed anchors, chained-harness timed
+    (independent dispatches do not reliably block through the axon tunnel —
+    BENCH_NOTES.md round 2): a (B,) row gather of an (N, 64) int32 table
+    (the descriptor-rate anchor that bounds the step's gather side; 1.31 ms
+    on the 2026-08-20 fast window) and a 4096^3 bf16 matmul (MXU anchor).
+    Lets BENCH_r*.json carry its own drift denominator."""
     import jax
+    import jax.numpy as jnp
 
-    if os.environ.get("OCN_BENCH_PLATFORM"):
-        # env vars can't unpin the axon TPU backend; jax.config can
-        # (used for the same-CPU comparison vs scripts/bench_reference_torch.py)
-        jax.config.update("jax_platforms", os.environ["OCN_BENCH_PLATFORM"])
+    rng = np.random.default_rng(0)
+    n, b = 235_868, 4096
+    tbl = jnp.asarray(
+        rng.integers(0, 2**31, size=(n, 64), dtype=np.int64).astype(np.int32))
+    rows = jnp.asarray(
+        rng.integers(0, n - 8, size=b, dtype=np.int64).astype(np.int32))
+    m = jnp.asarray(rng.standard_normal((4096, 4096)), jnp.bfloat16)
+
+    def timeit(body, reps):
+        run = jax.jit(
+            lambda s0: jax.lax.scan(
+                lambda s, _: (body(s), 0), s0, None, length=reps)[0])
+        s = run(jnp.zeros((), jnp.int32))
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.zeros((), jnp.int32)))
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    g_ms = timeit(
+        lambda s: jax.lax.rem(tbl[rows + s].ravel()[0], jnp.int32(4)), 20)
+    mm_ms = timeit(
+        lambda s: jnp.dot(m + s.astype(jnp.bfloat16), m)
+        .ravel()[0].astype(jnp.float32).astype(jnp.int32) % 4, 10)
+    return round(g_ms, 3), round(2 * 4096**3 / (mm_ms * 1e-3) / 1e12, 1)
+
+
+def measure(defaults: bool = False):
+    """Run the bench program and return (metric_name, edges_per_s).
+
+    ``defaults=True`` ignores every OCN_BENCH_* variant env and measures the
+    canonical defaults program (the same-window reference for A/Bs)."""
+    import jax
 
     from ocn_tpu.config import Config
     from ocn_tpu.data.loaders import synthetic_dataset
     from ocn_tpu.train.loop import Trainer
 
-    scale = float(os.environ.get("OCN_BENCH_SCALE", "1.0"))
-    batch = int(os.environ.get("OCN_BENCH_BATCH", "65536"))
+    env = (lambda k, d: d) if defaults else (
+        lambda k, d: os.environ.get(k, d))
+    scale = float(env("OCN_BENCH_SCALE", "1.0"))
+    batch = int(env("OCN_BENCH_BATCH", "65536"))
     steps = int(os.environ.get("OCN_BENCH_STEPS", "10"))
-    chunk = int(os.environ.get("OCN_BENCH_CHUNK", "4096"))
-    hoist = os.environ.get("OCN_BENCH_HOIST", "0") == "1"
-    group = int(os.environ.get("OCN_BENCH_GROUP", "8"))
+    chunk = int(env("OCN_BENCH_CHUNK", "4096"))
+    hoist = env("OCN_BENCH_HOIST", "0") == "1"
+    group = int(env("OCN_BENCH_GROUP", "8"))
 
-    predictor = os.environ.get("OCN_BENCH_PREDICTOR", "cn5")
-    dataset = os.environ.get("OCN_BENCH_DATASET", "collab")
+    predictor = env("OCN_BENCH_PREDICTOR", "cn5")
+    dataset = env("OCN_BENCH_DATASET", "collab")
     cfg = Config(
         dataset=dataset, predictor=predictor, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
@@ -51,16 +100,16 @@ def main():
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
         frame_group=group,
-        k_small=int(os.environ.get("OCN_BENCH_KSMALL", "16")),
-        k_neg=int(os.environ.get("OCN_BENCH_KNEG", "0")),
-        pad_deg2_dst=int(os.environ.get("OCN_BENCH_K2DST", "0")),
-        window_table=os.environ.get("OCN_BENCH_WINDOW", "0") == "1",
-        dtype=os.environ.get("OCN_BENCH_DTYPE", "bfloat16"),
-        ell_tables=os.environ.get("OCN_BENCH_ELL", "1") == "1",
-        adj2_cap=int(os.environ.get("OCN_BENCH_ADJ2CAP", "1024")),
+        k_small=int(env("OCN_BENCH_KSMALL", "16")),
+        k_neg=int(env("OCN_BENCH_KNEG", "0")),
+        pad_deg2_dst=int(env("OCN_BENCH_K2DST", "0")),
+        window_table=env("OCN_BENCH_WINDOW", "0") == "1",
+        dtype=env("OCN_BENCH_DTYPE", "bfloat16"),
+        ell_tables=env("OCN_BENCH_ELL", "1") == "1",
+        adj2_cap=int(env("OCN_BENCH_ADJ2CAP", "1024")),
     )
     ds = synthetic_dataset(dataset, seed=0, scale=scale)
-    if os.environ.get("OCN_BENCH_REORDER", "bfs") == "bfs":
+    if env("OCN_BENCH_REORDER", "bfs") == "bfs":
         # BFS node relabeling clusters neighbor gathers (BENCH_NOTES.md)
         ds = ds.reorder_bfs()
     tr = Trainer(cfg, ds)
@@ -121,13 +170,38 @@ def main():
     steps_per_epoch = max(1, e // batch)
     dt += steps * refresh_s / (steps_per_epoch * max(1, cfg.ell_refresh))
     eps = done / dt
+    return f"train_edges_per_s_{predictor}_{dataset}", eps
 
-    print(json.dumps({
-        "metric": f"train_edges_per_s_{predictor}_{dataset}",
+
+def main():
+    import jax
+
+    if os.environ.get("OCN_BENCH_PLATFORM"):
+        # env vars can't unpin the axon TPU backend; jax.config can
+        # (used for the same-CPU comparison vs scripts/bench_reference_torch.py)
+        jax.config.update("jax_platforms", os.environ["OCN_BENCH_PLATFORM"])
+
+    metric, eps = measure()
+    rec = {
+        "metric": metric,
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(eps / A100_REF_EDGES_PER_S, 3),
-    }))
+    }
+    if os.environ.get("OCN_BENCH_ANCHORS", "1") == "1":
+        g_ms, mm_tflops = chip_anchors()
+        # fast-window references (2026-08-20): gather 1.31 ms, ~126 Tflop/s
+        rec["anchor_rowgather_ms"] = g_ms
+        rec["anchor_matmul_tflops"] = mm_tflops
+    is_variant = any(os.environ.get(k) for k in _VARIANT_ENVS)
+    if is_variant and os.environ.get("OCN_BENCH_PAIR", "1") == "1":
+        # same-queue defaults rerun: the variant line carries its own
+        # denominator, immune to the ±10-15% cross-session drift
+        ref_metric, ref_eps = measure(defaults=True)
+        rec["ref_defaults_metric"] = ref_metric
+        rec["ref_defaults_value"] = round(ref_eps, 1)
+        rec["vs_defaults"] = round(eps / ref_eps, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

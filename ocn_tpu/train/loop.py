@@ -423,6 +423,11 @@ class Trainer:
         k = k or cfg.pad_deg
         grp = grp or cfg.frame_group
         nchunk, _, c = edges.shape
+        if nchunk % grp:
+            # clamp to the largest divisor of the chunk count (a frame_group
+            # exceeding nchunk would reshape to zero groups)
+            grp = max(d for d in range(1, min(nchunk, grp) + 1)
+                      if nchunk % d == 0)
         ngroup = nchunk // grp
         gc = grp * c
         edges_g = edges.transpose(1, 0, 2).reshape(2, ngroup, gc).transpose(1, 0, 2)
