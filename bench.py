@@ -31,7 +31,8 @@ _VARIANT_ENVS = (
     "OCN_BENCH_GROUP", "OCN_BENCH_PREDICTOR", "OCN_BENCH_DATASET",
     "OCN_BENCH_KSMALL", "OCN_BENCH_KNEG", "OCN_BENCH_K2DST",
     "OCN_BENCH_WINDOW", "OCN_BENCH_DTYPE", "OCN_BENCH_ELL",
-    "OCN_BENCH_ADJ2CAP", "OCN_BENCH_REORDER",
+    "OCN_BENCH_ADJ2CAP", "OCN_BENCH_REORDER", "OCN_BENCH_RECK",
+    "OCN_BENCH_PREEDP",
 )
 
 
@@ -107,7 +108,13 @@ def measure(defaults: bool = False):
         dtype=env("OCN_BENCH_DTYPE", "bfloat16"),
         ell_tables=env("OCN_BENCH_ELL", "1") == "1",
         adj2_cap=int(env("OCN_BENCH_ADJ2CAP", "1024")),
+        # incomplete-CN family levers (VERDICT r2 item 5): recursion frame
+        # width cap, and preedp=0 keeps the ELL tables attached (DropAdj
+        # detaches them per chunk — train/loop.py _use_ell note)
+        rec_k=int(env("OCN_BENCH_RECK", "0")),
     )
+    if env("OCN_BENCH_PREEDP", "") != "":
+        cfg.preedp = float(env("OCN_BENCH_PREEDP", "0.3"))
     ds = synthetic_dataset(dataset, seed=0, scale=scale)
     if env("OCN_BENCH_REORDER", "bfs") == "bfs":
         # BFS node relabeling clusters neighbor gathers (BENCH_NOTES.md)

@@ -176,6 +176,29 @@ class Config:
                                      # tables (uncapped rows bit-identical;
                                      # capped rows use the frozen window —
                                      # measured +42% eval throughput)
+    rec_k: int = 0                   # incomplete-CN family (cn2/cn3/cn4):
+                                     # frame width for the RECURSIVE scorer
+                                     # (the depth-1 stop-gradient re-scoring
+                                     # of B*resdeg potential edges — the
+                                     # dominant cost of the family).  A
+                                     # narrower width caps the recursion's
+                                     # adjacency sample with the standard
+                                     # deg/k reweighting — the same estimator
+                                     # family as the reference's trndeg/
+                                     # tstdeg/cndeg caps (utils.py:109-143).
+                                     # 0 = full pad_deg width (exact
+                                     # reference semantics).
+    dual_k_eval: bool = True         # score eval splits with the dual-K
+                                     # split too (k_small > 0): each split is
+                                     # degree-sorted once, full testbs batches
+                                     # of deg<=k_small sources score at frame
+                                     # width k_small (no extra capping — only
+                                     # exact-fit edges go small; the boundary
+                                     # remainder rides the big body), scores
+                                     # inverse-permuted back.  Pairing-free
+                                     # at eval (scores only).  Batch
+                                     # composition changes like any batch
+                                     # permutation (PARITY.md §6).
     eval_sampling: bool = True       # sample degree-capped rows randomly at
                                      # eval time too (the reference's
                                      # sparsesample_reweight is random in
@@ -214,7 +237,7 @@ class Config:
             probscale=self.probscale, proboffset=self.proboffset, pt=self.pt,
             learnpt=self.learnpt, trndeg=self.trndeg, tstdeg=self.tstdeg,
             depth=self.depth, sum=self.sum, polyfirst=self.polyfirst,
-            polysecond=self.polysecond, k=self.pad_deg,
+            polysecond=self.polysecond, k=self.pad_deg, rec_k=self.rec_k,
             recursion_train_mode=self.recursion_train_mode,
         )
 

@@ -89,6 +89,7 @@ def build_predictor(name: str, hidden: int, n_nodes: int, **kw: Any):
             learnablept=kw.get("learnpt", False),
             depth=kw.get("depth", 1),
             k=kw.get("k", 32),
+            rec_k=kw.get("rec_k", 0),
             recursion_train_mode=kw.get("recursion_train_mode", True),
             **common,
         )

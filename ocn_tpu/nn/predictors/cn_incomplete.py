@@ -73,6 +73,13 @@ class IncompleteCNPredictor(nn.Module):
     learnablept: bool = False
     depth: int = 1
     k: int = 32  # candidate-frame width (neighbor cap)
+    # frame width for the RECURSIVE scorer (0 = same as k).  The depth-1
+    # stop-gradient re-scoring of B*resdeg potential edges dominates the
+    # family's cost (each residual entry pays a full forward's gathers +
+    # membership); a narrower recursion frame caps its adjacency sample with
+    # the standard deg/k reweighting — the same estimator family as the
+    # reference's trndeg/tstdeg/cndeg caps (utils.py:109-143).
+    rec_k: int = 0
     higher_order: bool = False  # cn3: also complete the 2-hop CN order
     # The reference scores the recursion under torch.no_grad with the module
     # still in TRAIN mode (model.py:926-946): DropAdj and every MLP dropout
@@ -121,6 +128,8 @@ class IncompleteCNPredictor(nn.Module):
     ) -> jax.Array:
         depth = self.depth if depth is None else depth
         det = not training
+        # recursive calls (depth < self.depth) may run at a narrower frame
+        k_frame = self.k if depth == self.depth else (self.rec_k or self.k)
 
         if training and self.edrop > 1e-6:
             g = g.drop_edges(self.make_rng("dropout"), self.edrop)
@@ -134,7 +143,7 @@ class IncompleteCNPredictor(nn.Module):
 
         resdeg = self.trainresdeg if training else self.testresdeg
         kk = jax.random.split(sample_key, 4) if sample_key is not None else [None] * 4
-        cn, res1, res2 = cn_residual_frames(g, tar_ei, self.k, kk[0])
+        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0])
         if self.cndeg > 0:
             cn = sample_frame(cn, self.cndeg, kk[1])
         xcn = cn.matmul(x_aug)
@@ -241,6 +250,7 @@ class IncompleteCNPredictor(nn.Module):
         assert adj2 is not None, "cn3 requires the precomputed A^2 graph"
         depth = self.depth if depth is None else depth
         det = not training
+        k_frame = self.k if depth == self.depth else (self.rec_k or self.k)
 
         if training and self.edrop > 1e-6:
             g = g.drop_edges(self.make_rng("dropout"), self.edrop)
@@ -255,10 +265,10 @@ class IncompleteCNPredictor(nn.Module):
         resdeg = self.trainresdeg if training else self.testresdeg
 
         # 1-hop CN + residuals (src/dst frames)
-        cn, res1, res2 = cn_residual_frames(g, tar_ei, self.k, kk[0])
+        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0])
         # 2-hop: candidates vs the A^2 row of j
-        src = gather_neighbors(g, tar_ei[0], self.k, kk[1])
-        a2row = gather_neighbors(adj2, tar_ei[1], self.k, kk[2])
+        src = gather_neighbors(g, tar_ei[0], k_frame, kk[1])
+        a2row = gather_neighbors(adj2, tar_ei[1], k_frame, kk[2])
         in_a2 = _rowwise_membership(src.ids, a2row.ids, a2row.w)
         in_src = _rowwise_membership(a2row.ids, src.ids, src.w)
         cn22 = CNFrame(src.ids, jnp.where(in_a2 != 0, src.w, 0.0), g.n_nodes)

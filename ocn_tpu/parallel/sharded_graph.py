@@ -204,7 +204,14 @@ class LocalWindows:
     """One device's CSR window-table shard: rows [r0, r0+rows_per) with LOCAL
     indptr into the local col/val arrays (global column ids).  Exposes
     ``n_nodes`` so cn_frames can treat it like a Graph; gathers go through
-    sharded_gather_neighbors."""
+    sharded_gather_neighbors.
+
+    ``ell``: optional (rows_per, ell_k) packed col|val row-range shard of the
+    per-refresh ELL window table (sparse/ell.py) — when present it REPLACES
+    the CSR col/val arrays as the owner's answer source (pass (1,)-dummies
+    for ip/col/val then): one row gather per request instead of a window
+    slice, and 1/ndev of the table per device (the same descriptor-rate
+    economics as the replicated ELL path, BENCH_NOTES.md round 2)."""
 
     ip: jax.Array    # (rows_per+1,) local positions
     col: jax.Array   # (m,) global ids, GATHER_PAD tail + 1 mask pad slot
@@ -214,19 +221,22 @@ class LocalWindows:
     rows_per: int
     n_nodes: int
     axis: str = "dp"
+    ell: Optional[jax.Array] = None  # (rows_per, ell_k) int32 packed
+    ell_k: int = 0
+    col_bits: int = 0
 
     def tree_flatten(self):
-        return ((self.ip, self.col, self.val, self.deg, self.r0),
-                (self.rows_per, self.n_nodes, self.axis))
+        return ((self.ip, self.col, self.val, self.deg, self.r0, self.ell),
+                (self.rows_per, self.n_nodes, self.axis, self.ell_k,
+                 self.col_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
-    # cn_frames probes these Graph attributes on its fast path; window tables
+    # cn_frames probes this Graph attribute on its fast path; window tables
     # never carry a packed col|val array (values mutate under maskinput)
     packed = None
-    col_bits = 0
 
 
 def sharded_gather_neighbors(
@@ -249,6 +259,10 @@ def sharded_gather_neighbors(
     chunk keys are all_gathered alongside the requests and the owner draws
     each request's offset from ITS requester's key — bit-identical to the
     requester sampling locally.
+
+    With an ELL shard attached (lw.ell) the owner answers from its frozen
+    (rows_per, ell_k) table instead: one row gather per request, key ignored
+    (offset randomness is per-refresh, like ops/frame.py's ELL branch).
     """
     del sampling  # window sampling only (iid needs per-element gathers)
     nodes = nodes.astype(jnp.int32)
@@ -261,23 +275,33 @@ def sharded_gather_neighbors(
     own = (loc >= 0) & (loc < lw.rows_per) & (flat < lw.n_nodes)
     locc = jnp.clip(loc, 0, lw.rows_per - 1)
     deg = jnp.where(own, lw.deg[locc], 0)
-    start = lw.ip[locc]
     lane = jax.lax.broadcasted_iota(jnp.int32, (ndev * c, k), 1)
     capped = deg > k
     w_row = jnp.where(capped, deg.astype(jnp.float32) / k, 1.0)
     valid = lane < jnp.minimum(deg, k)[:, None]
 
-    if key is not None:
-        all_keys = jax.lax.all_gather(key, lw.axis)  # (ndev, key_shape)
-        u = jax.vmap(lambda kk: jax.random.uniform(kk, (c,)))(all_keys)
-        u = u.reshape(-1)
-        woff = jnp.where(
-            capped, (u * (deg - k + 1).astype(jnp.float32)).astype(jnp.int32), 0)
+    if lw.ell is not None and k <= lw.ell_k:
+        pk = lw.ell[locc]  # (ndev*C, ell_k) — one row gather
+        if k < lw.ell_k:
+            # leading-k sub-window of the frozen sample (dual-K small body /
+            # pad_deg2_dst), same as the replicated ELL branch
+            pk = pk[:, :k]
+        ids_w = jnp.bitwise_and(pk, (1 << lw.col_bits) - 1)
+        vals_w = jnp.right_shift(pk, lw.col_bits).astype(jnp.float32)
     else:
-        woff = jnp.zeros_like(deg)
-    pos0 = jnp.minimum(start + woff, jnp.maximum(lw.col.shape[0] - k, 0))
-    ids_w = _window_slice(lw.col, pos0, k)
-    vals_w = _window_slice(lw.val, pos0, k)
+        start = lw.ip[locc]
+        if key is not None:
+            all_keys = jax.lax.all_gather(key, lw.axis)  # (ndev, key_shape)
+            u = jax.vmap(lambda kk: jax.random.uniform(kk, (c,)))(all_keys)
+            u = u.reshape(-1)
+            woff = jnp.where(
+                capped,
+                (u * (deg - k + 1).astype(jnp.float32)).astype(jnp.int32), 0)
+        else:
+            woff = jnp.zeros_like(deg)
+        pos0 = jnp.minimum(start + woff, jnp.maximum(lw.col.shape[0] - k, 0))
+        ids_w = _window_slice(lw.col, pos0, k)
+        vals_w = _window_slice(lw.val, pos0, k)
     ok = own[:, None] & valid
     w = jnp.where(ok, w_row[:, None] * vals_w, 0.0)
     # owner contributes sentinel n_nodes on its invalid lanes; non-owners 0
@@ -396,6 +420,43 @@ def route_mask_positions(
     return mi, mb, mw
 
 
+def partition_ell(tbl: np.ndarray, ndev: int, rows_per: int) -> np.ndarray:
+    """Stack an (N, K) ELL table into (ndev, rows_per, K) row-range shards
+    (zero-padded tail rows are masked by `own` in the gather)."""
+    n, k = tbl.shape
+    pad = ndev * rows_per - n
+    if pad:
+        tbl = np.concatenate([tbl, np.zeros((pad, k), tbl.dtype)], axis=0)
+    return tbl.reshape(ndev, rows_per, k)
+
+
+def route_ell_mask(
+    flat: np.ndarray, cleared: np.ndarray, ndev: int, rows_per: int, k: int,
+    cap: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Route global ELL flat mask positions (sparse/ell.py
+    mask_ell_flat_positions; -1 = edge outside its row's frozen window) to
+    per-device LOCAL flat scatter positions + cleared packed values.
+    Unused lanes carry -1 (dropped by the device scatter, mode="drop")."""
+    flat = np.asarray(flat, np.int64)
+    ok = flat >= 0
+    rows = flat // k
+    dev = np.where(ok, rows // rows_per, 0)
+    lflat = flat - dev * (np.int64(rows_per) * k)
+    me = np.full((ndev, cap), -1, np.int32)
+    mc = np.zeros((ndev, cap), np.int32)
+    for d in range(ndev):
+        sel = ok & (dev == d)
+        ps, cs = lflat[sel], np.asarray(cleared)[sel]
+        if len(ps) > cap:
+            raise ValueError(
+                f"ELL mask routing overflow: device {d} owns {len(ps)} masked "
+                f"positions > cap {cap}; raise the cap")
+        me[d, : len(ps)] = ps
+        mc[d, : len(ps)] = cs
+    return me, mc
+
+
 # --------------------------------------------------------------------------
 # the integrated train step
 # --------------------------------------------------------------------------
@@ -404,10 +465,26 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
     """Build a node-sharded train step for Trainer ``tr`` over ``mesh[axis]``.
 
     Returns (step, prepare) where
-      step(state, pos, neg, mask_positions, key) -> (state, loss)
-    takes the same host-side batch arrays as Trainer.train_step (mesh mode)
-    and prepare(mask_positions) -> (mi, mb, mw) routes maskinput positions
-    (call per batch; pass Nones when maskinput is off).
+      step(state, pos, neg, masks, key, inv_p, inv_n, ell1, ell2)
+        -> (state, loss)
+    takes the same host-side batch arrays as Trainer.train_step (mesh mode);
+    ``ell1``/``ell2`` are the current refresh's (ndev, rows_per, K) ELL table
+    shards when ``tr._use_ell`` (else ignored), ``inv_p``/``inv_n`` the
+    original->transmitted score permutations from Trainer.prepare_batch when
+    the dual-K split is active (else None).  ``prepare(aux)`` routes maskinput
+    positions — aux is None, a (P,) array of global CSR nnz positions, or the
+    dict form from prepare_batch carrying CSR + ELL flat positions.
+
+    Production levers supported since round 3 (VERDICT r2 item 1): ELL window
+    tables ride as row-range shards REPLACING the per-device CSR window
+    shards, and the dual-K occupancy split runs with round-robin
+    chunk->device interleaving (each device holds nsp/ndev small + nbp/ndev
+    big chunks, so the degree sort cannot unbalance the static per-device
+    body sizes).  Scores are all-gathered ((B,) floats — the smallest
+    exchange of the step) and the loss is computed on the full batch in
+    original order, so per-index pos/neg pairing is exact for every loss in
+    the catalog even though pos_i and neg_i may be scored on different
+    devices.
     """
     from ocn_tpu.nn.predictors import THREE_HOP
     from ocn_tpu.parallel.node_sharded import partition_graph_boundary
@@ -420,18 +497,48 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
     assert cfg.two_hop_mode == "gather" and tr.adj2 is not None, (
         "sharded-graph v1 needs the precomputed A^2 ('gather' mode)")
     assert not cfg.window_table and not cfg.hoist_frames
-    assert tr._split is None, "dual-K split is replicated-path only (scope)"
     ndev = mesh.shape[axis]
     c = tr._chunk()
     b = cfg.batch_size
     assert b % (ndev * c) == 0, (
         f"batch_size {b} must divide into {ndev} devices x chunk {c}")
     g = tr.g
+    use_ell = bool(tr._use_ell)
+    split = tr._split
+    if split is not None:
+        nsp, nsn = split
+        assert nsp % ndev == 0 and nsn % ndev == 0, (
+            "sharded dual-K needs per-side chunk counts divisible by ndev "
+            "(Trainer._split_plan rounds them down)")
+        nsp_l, nsn_l = nsp // ndev, nsn // ndev
 
     # ---- host partitions ---------------------------------------------------
     bp = partition_graph_boundary(g, ndev)
-    wipA, wcolA, wvalA, wdegA, wpos0A = partition_windows(g, ndev)
-    wip2, wcol2, wval2, wdeg2, _ = partition_windows(tr.adj2, ndev)
+    wdegA = None
+    if use_ell:
+        # ELL shards replace the CSR window shards: only degrees (capping
+        # weights) and row offsets remain per-device; the col/val/ip arrays
+        # are 1-wide dummies
+        degA_np = np.asarray(tr.g.deg)
+        deg2_np = np.asarray(tr.adj2.deg)
+        rows_per = bp.rows_per
+
+        def _pad_deg(d):
+            pad = ndev * rows_per - d.shape[0]
+            return np.concatenate([d, np.zeros(pad, d.dtype)]).reshape(
+                ndev, rows_per)
+
+        wdegA = _pad_deg(degA_np.astype(np.int32))
+        wdeg2 = _pad_deg(deg2_np.astype(np.int32))
+        dummy = np.zeros((ndev, 1), np.int32)
+        wipA = wcolA = dummy
+        wvalA = np.zeros((ndev, 1), np.float32)
+        wip2 = wcol2 = dummy
+        wval2 = wvalA
+        wpos0A = np.zeros(ndev, np.int64)
+    else:
+        wipA, wcolA, wvalA, wdegA, wpos0A = partition_windows(g, ndev)
+        wip2, wcol2, wval2, wdeg2, _ = partition_windows(tr.adj2, ndev)
     layout = boundary_entry_layout(g, ndev)
     rows_per = bp.rows_per
 
@@ -468,19 +575,43 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
     mask_cap = 2 * b
     pad_i, pad_b, pad_w = imax, jmax, wcolA.shape[1] - 1
 
-    def prepare(mask_positions):
-        if mask_positions is None:
-            z = np.full((ndev, 1), 0, np.int32)
+    def prepare(aux):
+        """Route maskinput positions to per-device scatter arrays.
+
+        Returns (mi, mb, mw, me, mc): interior/boundary value scatters for
+        the encoder's LocalGraph, CSR window value scatter (non-ELL), and
+        ELL flat-position + cleared-entry scatters (ELL; -1 lanes dropped).
+        """
+        csr = ell_flat = ell_cleared = None
+        if isinstance(aux, dict):
+            csr = aux.get("csr")
+            ell_flat = aux.get("ell_flat")
+            ell_cleared = aux.get("ell_cleared")
+        elif aux is not None:
+            csr = aux
+        no_e = (jnp.asarray(np.full((ndev, 1), -1, np.int32)),
+                jnp.asarray(np.zeros((ndev, 1), np.int32)))
+        if csr is None:
             return (jnp.asarray(np.full((ndev, 1), pad_i, np.int32)),
                     jnp.asarray(np.full((ndev, 1), pad_b, np.int32)),
-                    jnp.asarray(np.full((ndev, 1), pad_w, np.int32)))
+                    jnp.asarray(np.full((ndev, 1), pad_w, np.int32)),
+                    *no_e)
         mi, mb, mw = route_mask_positions(
-            layout, wpos0A, np.asarray(mask_positions), ndev, mask_cap,
+            layout, wpos0A, np.asarray(csr), ndev, mask_cap,
             pad_i, pad_b, pad_w)
-        return jnp.asarray(mi), jnp.asarray(mb), jnp.asarray(mw)
+        if use_ell and ell_flat is not None:
+            me, mc = route_ell_mask(
+                ell_flat, ell_cleared, ndev, rows_per, tr._sharded_ell_k1(),
+                mask_cap)
+            me, mc = jnp.asarray(me), jnp.asarray(mc)
+        else:
+            me, mc = no_e
+        if use_ell:
+            # the CSR window shards are dummies under ELL; drop their scatter
+            mw = jnp.asarray(np.full((ndev, 1), 0, np.int32))
+        return jnp.asarray(mi), jnp.asarray(mb), mw, me, mc
 
     tx = tr._make_tx()
-    nchunk_local = b // (ndev * c)
 
     def gather_fn(lw, nodes, k, key):
         return sharded_gather_neighbors(lw, nodes, k, key)
@@ -492,8 +623,10 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             P(),                     # state
             P(None, axis),           # pos (2, B)
             P(None, axis),           # neg (2, B)
-            P(axis), P(axis), P(axis),   # mask routings (ndev, cap)
+            P(axis), P(axis), P(axis), P(axis), P(axis),  # mask routings
             P(),                     # key
+            P(), P(),                # inv_p, inv_n (replicated score perms)
+            P(axis), P(axis),        # ell1, ell2 shards
             P(axis),                 # x shards (ndev, rows_per, ...)
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
@@ -503,7 +636,8 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    def sharded_grads(state, pos, neg, mi, mb, mw, key,
+    def sharded_grads(state, pos, neg, mi, mb, mw, me, mc, key, inv_p, inv_n,
+                      ell1, ell2,
                       x_l, icol_, irow_, ival_, bpos_, brow_, bval_, sidx_,
                       wipA_, wcolA_, wvalA_, wdegA_,
                       wip2_, wcol2_, wval2_, wdeg2_, r0_):
@@ -512,31 +646,48 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         # maskinput: local scatters of zeros (pad lanes hit the pad slot)
         ival = ival_[0].at[mi[0]].set(0.0)
         bval = bval_[0].at[mb[0]].set(0.0)
-        wvalA_m = wvalA_[0].at[mw[0]].set(0.0)
         lg = LocalGraph(
             sidx=sidx_[0], icol=icol_[0], irow=irow_[0], ival=ival,
             bpos=bpos_[0], brow=brow_[0], bval=bval,
             rows_per=rows_per, ndev=ndev, bmax=bp.bmax, n_nodes=g.n_nodes,
             axis=axis)
-        lwA = LocalWindows(
-            ip=wipA_[0], col=wcolA_[0], val=wvalA_m, deg=wdegA_[0],
-            r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
-        lwA2 = LocalWindows(
-            ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
-            r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
+        if use_ell:
+            # scatter cleared (id-only) entries at the batch edges' frozen-
+            # window positions of the LOCAL table shard (-1 lanes dropped)
+            tbl1 = ell1[0]
+            ek = tbl1.shape[-1]
+            tbl1 = (tbl1.reshape(-1).at[me[0]].set(mc[0], mode="drop")
+                    .reshape(rows_per, ek))
+            lwA = LocalWindows(
+                ip=wipA_[0], col=wcolA_[0], val=wvalA_[0], deg=wdegA_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
+                ell=tbl1, ell_k=ek, col_bits=g.col_bits)
+            lwA2 = LocalWindows(
+                ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
+                ell=ell2[0], ell_k=ell2.shape[-1], col_bits=tr.adj2.col_bits)
+        else:
+            wvalA_m = wvalA_[0].at[mw[0]].set(0.0)
+            lwA = LocalWindows(
+                ip=wipA_[0], col=wcolA_[0], val=wvalA_m, deg=wdegA_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
+            lwA2 = LocalWindows(
+                ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
 
         bl = pos.shape[1]  # local edges per device
         nc = bl // c
         posc = pos.reshape(2, nc, c).transpose(1, 0, 2)
         negc = neg.reshape(2, nc, c).transpose(1, 0, 2)
-        allc = jnp.concatenate([posc, negc], axis=0)
-        validc = jnp.ones((2 * nc, c), tr.dtype)
-        corrs = None
-        if cfg.maskinput:
-            corrs = jnp.concatenate(
-                [jnp.ones((nc, c), tr.dtype), jnp.zeros((nc, c), tr.dtype)],
-                axis=0)
         k_enc, k_lnk = jax.random.split(key)
+
+        def corrs_for(n_pos, n_neg):
+            # maskinput self-path correction applies to positive chunks
+            if not cfg.maskinput:
+                return None
+            return jnp.concatenate(
+                [jnp.ones((n_pos, c), tr.dtype),
+                 jnp.zeros((n_neg, c), tr.dtype)], axis=0)
 
         def local_loss(params, ema):
             h_l = tr.encoder.apply(
@@ -546,18 +697,71 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             # (sliced back to n_nodes: the frame matmuls' custom VJPs return
             # n_nodes-row cotangents)
             h = jax.lax.all_gather(h_l, axis, tiled=True)[: g.n_nodes]
-            out, ema2 = tr._scan_scores(
-                params, ema, state.sched, h, lwA, allc, validc, k_lnk, True,
-                adj2=lwA2, corrs=corrs, gather_fn=gather_fn)
+            if split is None:
+                allc = jnp.concatenate([posc, negc], axis=0)
+                validc = jnp.ones((2 * nc, c), tr.dtype)
+                out, ema2 = tr._scan_scores(
+                    params, ema, state.sched, h, lwA, allc, validc, k_lnk,
+                    True, adj2=lwA2, corrs=corrs_for(nc, nc),
+                    gather_fn=gather_fn)
+                pos_l, neg_l = out[:bl], out[bl:]
+            else:
+                # dual-K: this device's local chunk layout is
+                # [nsp_l small pos | big pos] / [nsn_l small neg | big neg]
+                # (round-robin interleave done host-side in prepare_batch);
+                # EMA update order per device mirrors the replicated split:
+                # [pos_s, neg_s] then [pos_b, neg_b]
+                nbp_l, nbn_l = nc - nsp_l, nc - nsn_l
+                ema_c = ema
+                pos_parts, neg_parts = [], []
+                i0 = 0
+                if nsp_l + nsn_l > 0:
+                    small = jnp.concatenate(
+                        [posc[:nsp_l], negc[:nsn_l]], axis=0)
+                    out_s, ema_c = tr._scan_scores(
+                        params, ema_c, state.sched, h, lwA, small,
+                        jnp.ones((nsp_l + nsn_l, c), tr.dtype), k_lnk, True,
+                        adj2=lwA2, corrs=corrs_for(nsp_l, nsn_l),
+                        k=cfg.k_small, gather_fn=gather_fn)
+                    pos_parts.append(out_s[: nsp_l * c])
+                    neg_parts.append(out_s[nsp_l * c:])
+                    i0 = nsp_l + nsn_l
+                if nbp_l + nbn_l > 0:
+                    big = jnp.concatenate([posc[nsp_l:], negc[nsn_l:]], axis=0)
+                    out_b, ema_c = tr._scan_scores(
+                        params, ema_c, state.sched, h, lwA, big,
+                        jnp.ones((nbp_l + nbn_l, c), tr.dtype), k_lnk, True,
+                        i0=i0, adj2=lwA2, corrs=corrs_for(nbp_l, nbn_l),
+                        gather_fn=gather_fn)
+                    pos_parts.append(out_b[: nbp_l * c])
+                    neg_parts.append(out_b[nbp_l * c:])
+                ema2 = ema_c
+                pos_l = (pos_parts[0] if len(pos_parts) == 1
+                         else jnp.concatenate(pos_parts))
+                neg_l = (neg_parts[0] if len(neg_parts) == 1
+                         else jnp.concatenate(neg_parts))
+            # full-batch loss from all-gathered scores ((B,) floats, the
+            # smallest exchange of the step): per-index pos/neg pairing is
+            # exact for every loss in the catalog even when pos_i and neg_i
+            # land on different devices.  The all_gather transposes to a
+            # psum_scatter, so each device's cotangent flows back to exactly
+            # its own scores.
+            all_pos = jax.lax.all_gather(pos_l, axis, tiled=True)
+            all_neg = jax.lax.all_gather(neg_l, axis, tiled=True)
+            if inv_p is not None:
+                all_pos = all_pos[inv_p]
+                all_neg = all_neg[inv_n]
             loss = L.LOSSES[cfg.losstrick](
-                out[: bl], out[bl:], num_neg=1,
+                all_pos, all_neg, num_neg=1,
                 weight=cfg.lossweight, margin=cfg.lossmargin)
             return loss, ema2
 
         (loss, ema2), grads = jax.value_and_grad(local_loss, has_aux=True)(
             state.params, state.ema)
-        loss = jax.lax.pmean(loss, axis)
-        grads = jax.lax.pmean(grads, axis)
+        # the loss is the full-batch value (identical on every device); each
+        # device's grads cover only its own compute path, so the total
+        # gradient is the SUM over devices
+        grads = jax.lax.psum(grads, axis)
         ema2 = jax.tree_util.tree_map(
             lambda v: v if jnp.issubdtype(v.dtype, jnp.integer)
             else jax.lax.pmean(v, axis),
@@ -565,10 +769,19 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         return loss, grads, ema2
 
     @jax.jit
-    def step(state, pos, neg, masks, key):
-        mi, mb, mw = masks
+    def step(state, pos, neg, masks, key, inv_p=None, inv_n=None,
+             ell1=None, ell2=None):
+        mi, mb, mw, me, mc = masks
+        if use_ell and ell1 is None:
+            raise ValueError(
+                "this sharded step was built with ELL tables (tr._use_ell); "
+                "pass the current refresh's shards (Trainer._ell)")
+        if ell1 is None:
+            ell1 = jnp.zeros((ndev, 1, 1), jnp.int32)
+            ell2 = jnp.zeros((ndev, 1, 1), jnp.int32)
         loss, grads, ema2 = sharded_grads(
-            state, pos, neg, mi, mb, mw, key,
+            state, pos, neg, mi, mb, mw, me, mc, key, inv_p, inv_n,
+            ell1, ell2,
             xj, icol, irow, ival0, bpos, brow, bval0, sidx,
             wipAj, wcolAj, wvalA0, wdegAj,
             wip2j, wcol2j, wval2j, wdeg2j, r0s)
@@ -577,3 +790,148 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         return TrainState(new_params, ema2, state.sched, new_opt), loss
 
     return step, prepare
+
+
+# --------------------------------------------------------------------------
+# sharded eval: encode + score with the graph still sharded
+# --------------------------------------------------------------------------
+
+def make_sharded_encode(tr, mesh: Mesh, g: Graph, x, axis: str = "dp"):
+    """Eval-mode encoder over the sharded graph: each device runs the
+    halo-exchange SpMM stack on its node-range shard, then one all_gather
+    returns the replicated (n_nodes, H) hidden states — the smallest
+    per-node array, the only one a >HBM graph ever needs whole (VERDICT r2
+    item 1c: a graph too big to replicate can now be EVALUATED, not just
+    trained)."""
+    from ocn_tpu.parallel.node_sharded import partition_graph_boundary
+
+    ndev = mesh.shape[axis]
+    bp = partition_graph_boundary(g, ndev)
+    rows_per = bp.rows_per
+    xn = np.asarray(x)
+    pad_rows = ndev * rows_per - xn.shape[0]
+    x_pad = np.concatenate(
+        [xn, np.zeros((pad_rows,) + xn.shape[1:], xn.dtype)], axis=0)
+    xj = jnp.asarray(x_pad.reshape((ndev, rows_per) + xn.shape[1:]))
+    garrs = (
+        jnp.asarray(bp.send_idx),
+        jnp.asarray(bp.icol.astype(np.int32)),
+        jnp.asarray(bp.irow.astype(np.int32)), jnp.asarray(bp.ival),
+        jnp.asarray(bp.bpos.astype(np.int32)),
+        jnp.asarray(bp.brow.astype(np.int32)), jnp.asarray(bp.bval),
+    )
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 8,
+        out_specs=P(),
+        check_vma=False,
+    )
+    def enc(params, x_l, sidx, icol, irow, ival, bpos, brow, bval):
+        lg = LocalGraph(
+            sidx=sidx[0], icol=icol[0], irow=irow[0], ival=ival[0],
+            bpos=bpos[0], brow=brow[0], bval=bval[0],
+            rows_per=rows_per, ndev=ndev, bmax=bp.bmax, n_nodes=g.n_nodes,
+            axis=axis)
+        h_l = tr.encoder.apply({"params": params}, x_l[0], lg, False)
+        return jax.lax.all_gather(h_l, axis, tiled=True)[: g.n_nodes]
+
+    @jax.jit
+    def encode(params):
+        return enc(params, xj, *garrs)
+
+    return encode
+
+
+def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
+                       axis: str = "dp"):
+    """Forward-only scorer against sharded window tables (or ELL shards).
+
+    Returns score(params, ema, sched, h, edges, valid, key, ell1, ell2)
+    -> (bs,) scores, where edges is (2, bs) with bs divisible by
+    ndev * chunk; ``h`` is the replicated hidden-state matrix from
+    make_sharded_encode.  Used by Trainer.evaluate / evaluate_mrr when
+    graph_sharding == "node" — eval never replicates the adjacency, A^2 or
+    the window tables."""
+    cfg = tr.cfg
+    ndev = mesh.shape[axis]
+    c = tr._chunk()
+    rows_per = -(-g.n_nodes // ndev)
+
+    if use_ell:
+        def _pad_deg(d):
+            d = np.asarray(d, np.int32)
+            pad = ndev * rows_per - d.shape[0]
+            return np.concatenate([d, np.zeros(pad, np.int32)]).reshape(
+                ndev, rows_per)
+
+        wdegA = _pad_deg(g.deg)
+        wdeg2 = _pad_deg(adj2.deg)
+        dummy = np.zeros((ndev, 1), np.int32)
+        wipA = wcolA = wip2 = wcol2 = dummy
+        wvalA = wval2 = np.zeros((ndev, 1), np.float32)
+    else:
+        wipA, wcolA, wvalA, wdegA, _ = partition_windows(g, ndev)
+        wip2, wcol2, wval2, wdeg2, _ = partition_windows(adj2, ndev)
+    warrs = tuple(jnp.asarray(a) for a in (
+        wipA, wcolA, wvalA, wdegA, wip2, wcol2, wval2, wdeg2))
+    r0s = jnp.asarray((np.arange(ndev) * rows_per).astype(np.int32))[:, None]
+
+    def gather_fn(lw, nodes, k, key):
+        return sharded_gather_neighbors(lw, nodes, k, key)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),          # params, ema, sched, h
+            P(None, axis), P(axis),      # edges, valid
+            P(),                         # key
+            P(axis), P(axis),            # ell shards
+            P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis),
+            P(axis),
+        ),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def score_sm(params, ema, sched, h, edges, valid, key, ell1, ell2,
+                 wipA_, wcolA_, wvalA_, wdegA_,
+                 wip2_, wcol2_, wval2_, wdeg2_, r0_):
+        if use_ell:
+            lwA = LocalWindows(
+                ip=wipA_[0], col=wcolA_[0], val=wvalA_[0], deg=wdegA_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
+                ell=ell1[0], ell_k=ell1.shape[-1], col_bits=g.col_bits)
+            lwA2 = LocalWindows(
+                ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
+                ell=ell2[0], ell_k=ell2.shape[-1], col_bits=adj2.col_bits)
+        else:
+            lwA = LocalWindows(
+                ip=wipA_[0], col=wcolA_[0], val=wvalA_[0], deg=wdegA_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
+            lwA2 = LocalWindows(
+                ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
+        bl = edges.shape[1]
+        nc = bl // c
+        ec = edges.reshape(2, nc, c).transpose(1, 0, 2)
+        vc = valid.reshape(nc, c)
+        # offset the per-chunk eval keys by this device's global chunk range
+        # so every chunk of the split draws a distinct deterministic key
+        dev = jax.lax.axis_index(axis)
+        out, _ = tr._scan_scores(
+            params, ema, sched, h, lwA, ec, vc,
+            jax.random.fold_in(key, dev), False,
+            adj2=lwA2, gather_fn=gather_fn)
+        return out
+
+    @jax.jit
+    def score(params, ema, sched, h, edges, valid, key, ell1=None, ell2=None):
+        if ell1 is None:
+            ell1 = jnp.zeros((ndev, 1, 1), jnp.int32)
+            ell2 = jnp.zeros((ndev, 1, 1), jnp.int32)
+        return score_sm(params, ema, sched, h, edges, valid, key, ell1, ell2,
+                        *warrs, r0s)
+
+    return score

@@ -66,6 +66,21 @@ def attach_ell(g: Graph, tbl: jax.Array, off: jax.Array) -> Graph:
     return g.with_ell(tbl, off)
 
 
+def build_ell_np(packed: np.ndarray, indptr: np.ndarray, off: np.ndarray,
+                 k: int) -> np.ndarray:
+    """Host (NumPy) build_ell — used by the node-sharded path, where each
+    device should only ever hold its (rows_per, k) row-range shard: building
+    on host and `device_put`-ing shards avoids materializing the full (N, k)
+    table on any one device (the >HBM-graph contract of
+    parallel/sharded_graph.py)."""
+    n = indptr.shape[0] - 1
+    pos0 = indptr[:-1].astype(np.int64) + off.astype(np.int64)
+    pos = np.minimum(
+        pos0[:, None] + np.arange(k, dtype=np.int64)[None, :],
+        packed.shape[0] - 1)
+    return packed[pos]
+
+
 def mask_ell_flat_positions(
     edges: np.ndarray, mask_positions: np.ndarray, indptr: np.ndarray,
     off: np.ndarray, k: int,

@@ -135,35 +135,76 @@ class Trainer:
         # only — eval keeps the key-sampled / deterministic CSR window path.
         self._ell = None
         self._indptr_np = np.asarray(self.g.indptr)
+        from ocn_tpu.nn.predictors import SELF_BUILDING
+
+        # frame-based predictors need both tables; the self-building family
+        # (cn2/cn3/cn4) gathers from g internally — round 3 attaches the g
+        # table (+ A^2 table for cn3) there too, so the recursion's huge
+        # (B*resdeg, K) window gathers ride the row-gather layout.  With
+        # preedp > 0 the family's DropAdj mutates values and detaches the
+        # table per chunk (Graph.drop_edges) — correct, just not accelerated.
         self._use_ell = bool(
             cfg.ell_tables
-            and cfg.graph_sharding != "node"  # sharded CSR windows path
-            and self.frame_based
-            and self.adj2 is not None
             and self.g.packed is not None
-            and self.adj2.packed is not None
+            and (
+                (self.frame_based and self.adj2 is not None
+                 and self.adj2.packed is not None)
+                or (cfg.predictor in SELF_BUILDING
+                    and (self.adj2 is None or self.adj2.packed is not None))
+            )
         )
         self._build_steps()
 
     def _refresh_ell(self, rng: np.random.Generator) -> None:
         """Re-draw the frozen window offsets and rebuild both ELL tables on
         device (one (N, K) flat gather each — paid per refresh, amortized
-        over an epoch of chunks)."""
+        over an epoch of chunks).
+
+        Node-sharded mode builds the tables on HOST and device_puts only the
+        (ndev, rows_per, K) row-range shards — no device ever holds a full
+        (N, K) table (the >HBM-graph contract; parallel/sharded_graph.py)."""
         from ocn_tpu.sparse import ell as ELL
 
         cfg = self.cfg
-        off1 = ELL.draw_offsets(self._deg_np, cfg.pad_deg, rng)
+        sharded = cfg.graph_sharding == "node" and self.mesh is not None
+        # the sharded path has no CSR-window fallback (the tables REPLACE the
+        # per-device window shards), so g's table must cover the widest gather
+        # against g: the dst frame reads pad_deg2_dst or pad_deg2 lanes
+        # (ops/frame.py cn_frames)
+        k1 = self._sharded_ell_k1() if sharded else cfg.pad_deg
+        off1 = ELL.draw_offsets(self._deg_np, k1, rng)
+        if self.adj2 is not None:
+            deg2 = np.asarray(self.adj2.deg)
+            off2 = ELL.draw_offsets(deg2, cfg.pad_deg2, rng)
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ocn_tpu.parallel.sharded_graph import partition_ell
+
+            ndev = self.mesh.shape["dp"]
+            rows_per = -(-self.g.n_nodes // ndev)
+            sh = NamedSharding(self.mesh, P("dp", None, None))
+            t1 = ELL.build_ell_np(
+                np.asarray(self.g.packed), self._indptr_np, off1, k1)
+            t2 = ELL.build_ell_np(
+                np.asarray(self.adj2.packed), np.asarray(self.adj2.indptr),
+                off2, cfg.pad_deg2)
+            self._ell = dict(
+                tbl1_sh=jax.device_put(partition_ell(t1, ndev, rows_per), sh),
+                tbl2_sh=jax.device_put(partition_ell(t2, ndev, rows_per), sh),
+                off1_np=off1,
+            )
+            return
         tbl1 = ELL.build_ell(
             self.g.packed, self.g.indptr, jnp.asarray(off1), cfg.pad_deg)
-        deg2 = np.asarray(self.adj2.deg)
-        off2 = ELL.draw_offsets(deg2, cfg.pad_deg2, rng)
-        tbl2 = ELL.build_ell(
-            self.adj2.packed, self.adj2.indptr, jnp.asarray(off2),
-            cfg.pad_deg2)
         self._ell = dict(
             tbl1=tbl1, off1=jnp.asarray(off1), off1_np=off1,
-            tbl2=tbl2, off2=jnp.asarray(off2),
         )
+        if self.adj2 is not None:
+            self._ell["tbl2"] = ELL.build_ell(
+                self.adj2.packed, self.adj2.indptr, jnp.asarray(off2),
+                cfg.pad_deg2)
+            self._ell["off2"] = jnp.asarray(off2)
 
     def _split_plan(self):
         """Static chunk counts (n_small_pos, n_small_neg) for the dual-K
@@ -183,9 +224,6 @@ class Trainer:
             or not self.frame_based
             or cfg.predictor in THREE_HOP
             or cfg.hoist_frames
-            or cfg.graph_sharding == "node"  # contiguous chunk->device
-            # assignment; the degree sort would unbalance static per-device
-            # small/big counts (parallel/sharded_graph.py scope note)
         ):
             return None
         c = self._chunk()
@@ -209,6 +247,19 @@ class Trainer:
             fneg = float(np.mean(deg <= (k_neg or cfg.k_small)))
         nsp = min(nchunk, int(fp * nchunk))
         nsn = min(nchunk, int(fneg * nchunk))
+        if cfg.graph_sharding == "node":
+            # round-robin chunk->device interleave (prepare_batch): each
+            # device must hold exactly nsp/ndev small + nbp/ndev big chunks,
+            # so round each side DOWN to a multiple of ndev (shrinking only
+            # moves low-degree edges to the big body — no extra capping).
+            # k_neg's third body is out of the sharded path's scope (it
+            # measured ~-2% on the replicated path anyway, BENCH_NOTES).
+            ndev = max(cfg.dp_devices, 1)
+            nsp -= nsp % ndev
+            nsn -= nsn % ndev
+            if nsp + nsn == 0:
+                return None
+            return nsp, nsn
         grp = cfg.frame_group if cfg.frame_group > 1 else 1
         if k_neg and k_neg != cfg.k_small:
             # separate neg body (third scan body): each body picks its own
@@ -227,6 +278,41 @@ class Trainer:
         if nsp + nsn == 0:
             return None
         return nsp, nsn
+
+    def _sharded_ell_k1(self) -> int:
+        """Width of the sharded g-table: must cover cn1's src gather
+        (pad_deg / k_small) AND the dst gather (pad_deg2_dst or pad_deg2),
+        since the node-sharded path has no CSR-window fallback."""
+        kd = self.cfg.pad_deg2_dst or self.cfg.pad_deg2
+        return max(self.cfg.pad_deg, kd)
+
+    def _chunk_interleave(self):
+        """(cp_pos, cp_neg) column permutations (transmitted -> sorted) for
+        the node-sharded dual-K split: after the degree sort, chunk t of the
+        transmitted layout is chosen so device d's contiguous slice holds
+        exactly nsp/ndev small chunks followed by nbp/ndev big chunks
+        (counts made divisible by _split_plan's rounding).  Cached — the
+        permutation depends only on (batch_size, chunk, ndev, split)."""
+        if getattr(self, "_ichunk", None) is not None:
+            return self._ichunk
+
+        def perm(n_small: int) -> np.ndarray:
+            c = self._chunk()
+            nchunk = self.cfg.batch_size // c
+            ndev = max(self.cfg.dp_devices, 1)
+            nsl = n_small // ndev
+            nbl = (nchunk - n_small) // ndev
+            order = []
+            for d in range(ndev):
+                order += list(range(d * nsl, (d + 1) * nsl))
+                order += list(range(n_small + d * nbl,
+                                    n_small + (d + 1) * nbl))
+            order = np.asarray(order, np.int64)
+            return (order[:, None] * c + np.arange(c)).reshape(-1)
+
+        nsp, nsn = self._split
+        self._ichunk = (perm(nsp), perm(nsn))
+        return self._ichunk
 
     def _build_adj2(self, g: Graph) -> Graph:
         from ocn_tpu.sparse.csr import graph_from_numpy
@@ -756,8 +842,12 @@ class Trainer:
 
             def train_step_wrap(state, pos, neg, mask_positions, key,
                                 inv_p=None, inv_n=None):
+                ell1 = ell2 = None
+                if self._use_ell and self._ell is not None:
+                    ell1, ell2 = self._ell["tbl1_sh"], self._ell["tbl2_sh"]
                 return sg_step(state, jnp.asarray(pos), jnp.asarray(neg),
-                               sg_prepare(mask_positions), key)
+                               sg_prepare(mask_positions), key,
+                               inv_p, inv_n, ell1, ell2)
 
             self.train_step = train_step_wrap
         elif mesh is not None:
@@ -825,22 +915,34 @@ class Trainer:
         _encode_jit = jax.jit(encode)
         self.encode = lambda params, g: _encode_jit(params, self.x, g)
 
-        def score(params, ema, sched, h, g, adj2, adj3, edges, valid, key):
-            y = None
-            if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
-                y = h[g.col]
-            out, _ = self._score_chunk(
-                params, ema, sched, h, g, edges, valid,
-                key, False, adj2=adj2, y=y, adj3=adj3,
-            )
-            return out
+        def make_score(kk):
+            def score(params, ema, sched, h, g, adj2, adj3, edges, valid, key):
+                y = None
+                if cfg.window_table and self.frame_based and cfg.cndeg <= 0:
+                    y = h[g.col]
+                out, _ = self._score_chunk(
+                    params, ema, sched, h, g, edges, valid,
+                    key, False, adj2=adj2, y=y, adj3=adj3, k=kk,
+                )
+                return out
 
-        _score_jit = jax.jit(score)
-        # adj3 rides as an argument like the rest of the graph arrays (it is
-        # the largest one — see _gargs)
+            return jax.jit(score)
+
+        # per-frame-width compiled score programs (dual-K eval scores the
+        # low-degree majority at k_small); adj3 rides as an argument like the
+        # rest of the graph arrays (it is the largest one — see _gargs)
+        self._score_jits = {}
+
+        def score_k(params, ema, sched, h, g, adj2, edges, valid, key, k=None):
+            fn = self._score_jits.get(k)
+            if fn is None:
+                fn = self._score_jits[k] = make_score(k)
+            return fn(params, ema, sched, h, g, adj2, self.adj3, edges,
+                      valid, key)
+
         self.score = (lambda params, ema, sched, h, g, adj2, edges, valid,
-                      key: _score_jit(params, ema, sched, h, g, adj2,
-                                      self.adj3, edges, valid, key))
+                      key, k=None: score_k(params, ema, sched, h, g, adj2,
+                                           edges, valid, key, k))
 
     # ------------------------------------------------------------- epoch API
     def prepare_batch(self, pos_b: np.ndarray, neg_b: np.ndarray,
@@ -854,20 +956,28 @@ class Trainer:
         degree so the low-degree majority fills the leading (small-K) chunks;
         the returned inverse permutations restore original order on the
         scores, so per-index pos/neg loss pairing is exact for every loss in
-        the catalog.  Returns (pos, neg, mask_positions, inv_p, inv_n) as
-        device-ready arrays (None where inapplicable).
+        the catalog.  On the node-sharded path the degree sort composes with
+        a round-robin chunk->device interleave (each device receives exactly
+        nsp/ndev small + nbp/ndev big chunks; parallel/sharded_graph.py), and
+        the inverse permutations map original -> transmitted positions of the
+        all-gathered scores.  Returns (pos, neg, mask_positions, inv_p,
+        inv_n) as device-ready arrays (None where inapplicable).
         """
+        sharded = self.cfg.graph_sharding == "node"
         inv_p = inv_n = None
         if self._split is not None:
             ar = np.arange(pos_b.shape[1])
             sp = np.argsort(self._deg_np[pos_b[0]], kind="stable")
+            sn = np.argsort(self._deg_np[neg_b[0]], kind="stable")
+            if sharded:
+                cp, cpn = self._chunk_interleave()
+                sp, sn = sp[cp], sn[cpn]
             inv = np.empty_like(sp)
             inv[sp] = ar
             pos_b = pos_b[:, sp]
             if idx is not None:
                 idx = idx[sp]
             inv_p = jnp.asarray(inv.astype(np.int32))
-            sn = np.argsort(self._deg_np[neg_b[0]], kind="stable")
             invn = np.empty_like(sn)
             invn[sn] = ar
             neg_b = neg_b[:, sn]
@@ -875,7 +985,22 @@ class Trainer:
         mp = mp_np = None
         if self.edge2pos is not None and idx is not None:
             mp_np = np.maximum(self.edge2pos[idx].reshape(-1), 0).astype(np.int32)
-            mp = jnp.asarray(mp_np)
+            mp = mp_np if sharded else jnp.asarray(mp_np)
+        if sharded:
+            # the sharded step routes mask positions host-side (sg_prepare);
+            # attach the ELL flat positions of the current refresh when on
+            if self._ell is not None and mp_np is not None:
+                from ocn_tpu.sparse.ell import mask_ell_flat_positions
+
+                flat, cleared = mask_ell_flat_positions(
+                    pos_b, mp_np, self._indptr_np, self._ell["off1_np"],
+                    self._sharded_ell_k1())
+                mp = {"csr": mp_np, "ell_flat": flat, "ell_cleared": cleared}
+            return (
+                jnp.asarray(pos_b.astype(np.int32)),
+                jnp.asarray(neg_b.astype(np.int32)),
+                mp, inv_p, inv_n,
+            )
         if self._ell is not None:
             # aux dict form: CSR mask positions + the current refresh's ELL
             # window tables (+ the batch edges' positions inside the frozen
@@ -887,8 +1012,10 @@ class Trainer:
             aux = {
                 "csr": mp,
                 "ell1": self._ell["tbl1"], "off1": self._ell["off1"],
-                "ell2": self._ell["tbl2"], "off2": self._ell["off2"],
             }
+            if "tbl2" in self._ell:  # absent for cn2/cn4 (no A^2 graph)
+                aux["ell2"] = self._ell["tbl2"]
+                aux["off2"] = self._ell["off2"]
             if mp_np is not None:
                 flat, cleared = mask_ell_flat_positions(
                     pos_b, mp_np, self._indptr_np, self._ell["off1_np"],
@@ -958,17 +1085,117 @@ class Trainer:
     def _set_alpha(sched, value):
         return jax.tree_util.tree_map(lambda _: jnp.asarray(value, jnp.float32), sched)
 
+    def _sharded_scorers(self):
+        """Lazy (encode, score, encode_full, score_full, use_ell) bundle for
+        node-sharded eval (parallel/sharded_graph.py): the adjacency, A^2 and
+        window/ELL tables stay sharded through scoring; only the (n_nodes, H)
+        hidden states are gathered whole (VERDICT r2 item 1c — a >HBM graph
+        can now be evaluated, not just trained)."""
+        if getattr(self, "_sh_eval", None) is None:
+            from ocn_tpu.parallel.sharded_graph import (
+                make_sharded_encode, make_sharded_score)
+
+            use_ell = bool(self.cfg.ell_eval and self._use_ell)
+            if use_ell and self._ell is None:
+                # eval before any training epoch: build the epoch-1 tables
+                self._refresh_ell(np.random.default_rng(
+                    (1 * 0x9E3779B1 + 0x85EBCA77) & 0xFFFFFFFF))
+            enc = make_sharded_encode(self, self.mesh, self.g, self.x)
+            sc = make_sharded_score(self, self.mesh, self.g, self.adj2,
+                                    use_ell)
+            enc_full = sc_full = None
+            if (self.cfg.use_valedges_as_input
+                    and self.ds.full_edge_index is not None):
+                # the full (train+valid) graph has its own edge set; the
+                # train ELL tables do not apply (same rule as _eval_graphs)
+                enc_full = make_sharded_encode(
+                    self, self.mesh, self.full_g, self.x)
+                sc_full = make_sharded_score(
+                    self, self.mesh, self.full_g, self.full_adj2, False)
+            self._sh_eval = (enc, sc, enc_full, sc_full, use_ell)
+        return self._sh_eval
+
+    def _sharded_scores(self, state: TrainState, h, edges: np.ndarray,
+                        scorer, use_ell: bool) -> np.ndarray:
+        """_score_split body for the node-sharded scorer: fixed-shape (2, bs)
+        slices with bs a multiple of ndev * chunk, tail padded + masked."""
+        cfg = self.cfg
+        unit = self.mesh.shape["dp"] * self._chunk()
+        bs = max(unit, (cfg.testbs // unit) * unit)
+        ell1 = ell2 = None
+        if use_ell:
+            ell1, ell2 = self._ell["tbl1_sh"], self._ell["tbl2_sh"]
+        out = []
+        n = edges.shape[0]
+        eval_key = jax.random.PRNGKey(cfg.seed)
+        for start in range(0, n, bs):
+            chunk = np.asarray(edges[start : start + bs]).T
+            c = chunk.shape[1]
+            pad = bs - c
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((2, pad), chunk.dtype)], axis=1)
+            valid = np.zeros((bs,), np.float32)
+            valid[:c] = 1.0
+            s = scorer(
+                state.params, state.ema, state.sched, h,
+                jnp.asarray(chunk.astype(np.int32)), jnp.asarray(valid),
+                jax.random.fold_in(eval_key, start), ell1, ell2)
+            out.append(np.asarray(s[:c]))
+        return np.concatenate(out) if out else np.zeros((0,))
+
     def _score_split(self, state: TrainState, h, g, edges: np.ndarray,
                      adj2=None) -> np.ndarray:
         """Eval-mode PermIterator keeps the ragged tail (utils.py:20-30); the
         tail chunk is padded and masked so batch column sums see only real
         edges."""
+        if self.cfg.graph_sharding == "node" and self.mesh is not None:
+            _, sc, _, sc_full, use_ell = self._sharded_scorers()
+            if g is self.full_g and sc_full is not None:
+                return self._sharded_scores(state, h, edges, sc_full, False)
+            return self._sharded_scores(state, h, edges, sc, use_ell)
+        cfg = self.cfg
+        n = edges.shape[0]
+        use_dual = (
+            cfg.dual_k_eval and 0 < cfg.k_small < cfg.pad_deg
+            and self.frame_based and cfg.predictor not in THREE_HOP
+            and n > cfg.testbs
+        )
+        if not use_dual:
+            return self._score_batches(state, h, g, edges, adj2)
+        # dual-K at eval (VERDICT r2 item 7): degree-sort the split once,
+        # score full testbs batches of deg<=k_small sources at frame width
+        # k_small (exact — no extra capping; the boundary remainder rides the
+        # big body), inverse-permute the scores.  Pairing-free: eval consumes
+        # scores only.
+        edges = np.asarray(edges)
+        deg = self._deg_np[edges[:, 0]]
+        sp = np.argsort(deg, kind="stable")
+        split_at = (int(np.sum(deg <= cfg.k_small)) // cfg.testbs) * cfg.testbs
+        se = edges[sp]
+        out = np.concatenate([
+            self._score_batches(state, h, g, se[:split_at], adj2,
+                                k=cfg.k_small, fold0=1),
+            self._score_batches(state, h, g, se[split_at:], adj2, fold0=2),
+        ])
+        inv = np.empty(n, np.int64)
+        inv[sp] = np.arange(n)
+        return out[inv]
+
+    def _score_batches(self, state: TrainState, h, g, edges: np.ndarray,
+                       adj2=None, k=None, fold0: int = 0) -> np.ndarray:
+        """Score (n, 2) edges in fixed (2, testbs) batches (tail padded and
+        value-masked) at frame width ``k`` (None = pad_deg)."""
         bs = self.cfg.testbs
         out = []
         n = edges.shape[0]
         eval_key = jax.random.PRNGKey(self.cfg.seed)
+        if fold0:
+            # disjoint key stream per dual-K eval body (fold0=0 keeps the
+            # original single-body stream byte-identical)
+            eval_key = jax.random.fold_in(eval_key, fold0)
         for start in range(0, n, bs):
-            chunk = edges[start : start + bs].T  # (2, c)
+            chunk = np.asarray(edges[start : start + bs]).T  # (2, c)
             c = chunk.shape[1]
             pad = bs - c
             if pad:
@@ -979,7 +1206,7 @@ class Trainer:
             s = self.score(
                 state.params, state.ema, state.sched, h, g, adj2,
                 jnp.asarray(chunk), jnp.asarray(valid),
-                jax.random.fold_in(eval_key, start),
+                jax.random.fold_in(eval_key, start), k,
             )
             out.append(np.asarray(s[:c]))
         return np.concatenate(out) if out else np.zeros((0,))
@@ -990,13 +1217,13 @@ class Trainer:
         K in {20, 50, 100}; `use_valedges_as_input` re-encodes with the full
         adjacency for the test split."""
         se = self.ds.split_edge
-        h = self.encode(state.params, self.g)
+        h = self._eval_encode(state, full=False)
         g_eval, a2_eval = self._eval_graphs()
         pos_train = self._score_split(state, h, g_eval, se["train"]["edge"], a2_eval)
         pos_valid = self._score_split(state, h, g_eval, se["valid"]["edge"], a2_eval)
         neg_valid = self._score_split(state, h, g_eval, se["valid"]["edge_neg"], a2_eval)
         if self.cfg.use_valedges_as_input:
-            h = self.encode(state.params, self.full_g)
+            h = self._eval_encode(state, full=True)
             # full-graph adjacency has its own (bigger) edge set; the train
             # ELL tables do not apply
             g_test, a2_test = self.full_g, self.full_adj2
@@ -1021,15 +1248,29 @@ class Trainer:
         estimator, PARITY.md §7; accuracy A/Bs in BASELINE.md).  Measured
         +42% eval throughput on chip — 104.2k vs 73.6k edges/s
         (BENCH_NOTES 2026-08-20)."""
-        if self.cfg.ell_eval and self._use_ell and self._ell is not None:
-            return (self.g.with_ell(self._ell["tbl1"], self._ell["off1"]),
-                    self.adj2.with_ell(self._ell["tbl2"], self._ell["off2"]))
+        if (self.cfg.ell_eval and self._use_ell and self._ell is not None
+                and "tbl1" in self._ell):  # sharded mode holds shards instead
+            g = self.g.with_ell(self._ell["tbl1"], self._ell["off1"])
+            a2 = (self.adj2.with_ell(self._ell["tbl2"], self._ell["off2"])
+                  if "tbl2" in self._ell else self.adj2)
+            return g, a2
         return self.g, self.adj2
+
+    def _eval_encode(self, state: TrainState, full: bool):
+        """Eval-mode hidden states — via the sharded encoder (halo-exchange
+        SpMM on graph shards + one h all_gather) when node-sharded."""
+        if self.cfg.graph_sharding == "node" and self.mesh is not None:
+            enc, _, enc_full, _, _ = self._sharded_scorers()
+            if full and enc_full is not None:
+                return enc_full(state.params["encoder"])
+            return enc(state.params["encoder"])
+        g = self.full_g if full else self.g
+        return self.encode(state.params, g)
 
     def evaluate_mrr(self, state: TrainState) -> Dict[str, float]:
         """citation2-style MRR eval (NeighborOverlapCitation2.py:235-259)."""
         se = self.ds.split_edge
-        h = self.encode(state.params, self.g)
+        h = self._eval_encode(state, full=False)
         g_eval, a2_eval = self._eval_graphs()
         out = {}
         for part in ("valid", "test"):

@@ -74,6 +74,26 @@ def variant_overrides(name: str, max_deg: int) -> dict:
         # production + dual-K occupancy split
         "capped_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                            adj2_cap=1024, k_small=16, ell_tables=False),
+        # round-3 isolating variants (VERDICT r2 item 8: pin down WHY
+        # capped >= exact on SBM): exact frame width with the production
+        # two-hop mode, and production width with the exact two-hop counts —
+        # together with `exact` and `capped` they factor the difference into
+        # its two axes (cap width vs A^2 mode)
+        "exact_gather": dict(pad_deg=pad_exact, pad_deg2=pad_exact,
+                             two_hop_mode="gather", adj2_cap=4096,
+                             ell_tables=False),
+        "capped_sddmm": dict(pad_deg=64, pad_deg2=64, two_hop_mode="sddmm",
+                             ell_tables=False),
+        # incomplete-CN family (cn2/cn4): the recursion-width cap rec_k is
+        # the family's real production knob (round 3) — A/B against `capped`
+        # (rec_k=0, full-width recursion).  ELL granularity is inert for the
+        # family when preedp > 0 (DropAdj detaches the tables), so rec8 (not
+        # capped_ell) is the meaningful capped variant — this replaces the
+        # round-2 A/A rows (VERDICT r2 "What's weak" #3).
+        "rec8": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                     adj2_cap=1024, rec_k=8, ell_tables=False),
+        "rec16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                      adj2_cap=1024, rec_k=16, ell_tables=False),
         # deliberately harsh caps (sensitivity curve)
         "hard16": dict(pad_deg=16, pad_deg2=16, two_hop_mode="gather",
                        adj2_cap=256, ell_tables=False),

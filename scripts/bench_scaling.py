@@ -34,7 +34,10 @@ def main():
     from ocn_tpu.train.loop import Trainer
 
     per_dev = int(os.environ.get("S_PERDEV", "512"))
-    mode = os.environ.get("S_MODE", "spmd")  # "spmd" | "sharded"
+    # "spmd" | "sharded" (bare node-sharded step) | "sharded_prod"
+    # (node-sharded through the Trainer config path WITH the production
+    # levers: ELL table shards + dual-K round-robin interleave — round 3)
+    mode = os.environ.get("S_MODE", "spmd")
     ndev = len(jax.devices())
     ds = synthetic_dataset("Cora", seed=0, scale=1.0)
     results = {}
@@ -45,29 +48,46 @@ def main():
         cfg = Config(
             dataset="Cora", predictor="cn5", model="puregcn", mplayers=1,
             hiddim=64, batch_size=b, testbs=b, maskinput=True,
-            pad_deg=32, pad_deg2=32, linkbatchsize=per_dev,
+            pad_deg=32, pad_deg2=32,
+            # sharded_prod needs >= 2 chunks per device so each holds one
+            # small + one big dual-K chunk
+            linkbatchsize=(per_dev // 2 if mode == "sharded_prod"
+                           else per_dev),
+            ell_tables=(mode == "sharded_prod"),
+            **({"graph_sharding": "node", "dp_devices": dp, "k_small": 8,
+                "small_frac": 0.5, "small_frac_neg": 0.5}
+               if mode == "sharded_prod" else {}),
         )
         tr = Trainer(cfg, ds)
-        mesh = make_mesh(dp=dp, tp=1)
-        if mode == "sharded":
-            from ocn_tpu.parallel.sharded_graph import (
-                make_sharded_graph_train_step)
-
-            step0, prepare = make_sharded_graph_train_step(tr, mesh)
-
-            def step(state, pe, ne, mp, key, _s=step0, _p=prepare):
-                return _s(state, pe, ne, _p(np.asarray(mp)), key)
-        else:
-            step = make_spmd_train_step(tr, mesh)
-        state = tr.init_state(0)
         rng = np.random.default_rng(0)
         pos = ds.split_edge["train"]["edge"].T
         e = pos.shape[1]
         idx = rng.permutation(max(e, b))[:b] % e
         neg = B.negative_sampling(ds.edge_index, ds.n_nodes, b, rng)
-        pe, ne = jnp.asarray(pos[:, idx]), jnp.asarray(neg)
-        mp = jnp.maximum(tr.edge2pos[jnp.asarray(idx)].reshape(-1), 0)
         key = jax.random.PRNGKey(0)
+        if mode == "sharded_prod":
+            if tr._use_ell:
+                tr._refresh_ell(np.random.default_rng(1))
+            pe, ne, mp, ip, inn = tr.prepare_batch(pos[:, idx], neg[:, idx],
+                                                   idx)
+
+            def step(state, _pe, _ne, _mp, k):
+                return tr.train_step(state, pe, ne, mp, k, ip, inn)
+        else:
+            mesh = make_mesh(dp=dp, tp=1)
+            if mode == "sharded":
+                from ocn_tpu.parallel.sharded_graph import (
+                    make_sharded_graph_train_step)
+
+                step0, prepare = make_sharded_graph_train_step(tr, mesh)
+
+                def step(state, pe, ne, mp, key, _s=step0, _p=prepare):
+                    return _s(state, pe, ne, _p(np.asarray(mp)), key)
+            else:
+                step = make_spmd_train_step(tr, mesh)
+            pe, ne = jnp.asarray(pos[:, idx]), jnp.asarray(neg)
+            mp = jnp.maximum(tr.edge2pos[jnp.asarray(idx)].reshape(-1), 0)
+        state = tr.init_state(0)
         state, loss = step(state, pe, ne, mp, key)
         jax.block_until_ready(loss)
         t0 = time.perf_counter()

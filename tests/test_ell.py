@@ -138,3 +138,39 @@ def test_split_with_ell_runs(ds):
     state = tr.init_state(0)
     state, loss = tr.train_epoch(state, np.random.default_rng(2), 1)
     assert np.isfinite(loss)
+
+
+def test_cn2_ell_exactness(ds):
+    """Round 3 (VERDICT r2 item 5): the self-building family's internal
+    gathers ride the ELL tables too.  cn2 has no A^2 graph (only tbl1 is
+    built); with preedp=0 (no DropAdj detach) and pad_deg above the max
+    degree the table is exact, so the epoch loss must be identical with
+    tables on vs off."""
+    losses = {}
+    for ell in (False, True):
+        tr = Trainer(_cfg(ell, predictor="cn2", pad_deg=64, depth=1,
+                          trndeg=4, tstdeg=8, linkbatchsize=32), ds)
+        assert tr.adj2 is None and tr._use_ell == ell
+        state = tr.init_state(0)
+        state, losses[ell] = tr.train_epoch(
+            state, np.random.default_rng(0), epoch=1)
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+def test_cn2_rec_k_width_invariance(ds):
+    """rec_k (round 3): the recursion's frame width.  At rec_k >= max degree
+    the narrower recursion frame is exact, so the loss must match the
+    full-width run; a binding rec_k still trains finitely."""
+    kw = dict(predictor="cn2", pad_deg=64, depth=1, trndeg=4, tstdeg=8,
+              linkbatchsize=32)
+    losses = {}
+    for rk in (0, 40, 8):  # maxdeg = 37 on this graph: 40 is exact, 8 binds
+        tr = Trainer(_cfg(True, rec_k=rk, **kw), ds)
+        state = tr.init_state(0)
+        state, losses[rk] = tr.train_epoch(
+            state, np.random.default_rng(0), epoch=1)
+        assert np.isfinite(losses[rk])
+    np.testing.assert_allclose(losses[40], losses[0], rtol=1e-6)
+    # the binding cap is an estimator change, not an explosion
+    assert abs(losses[8] - losses[0]) < 1.0

@@ -29,7 +29,7 @@ def _cfg(**kw):
         hiddim=32, batch_size=256, testbs=256, maskinput=True,
         pad_deg=64, pad_deg2=64, linkbatchsize=32, two_hop_mode="gather",
         gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
-        reorder="none",
+        reorder="none", ell_tables=False,
     )
     base.update(kw)
     return Config(**base)
@@ -222,3 +222,103 @@ def test_graph_sharding_config_path(ds):
     state_r = tr_r.init_state(0)
     state_r, loss_r = tr_r.train_epoch(state_r, np.random.default_rng(0), 1)
     np.testing.assert_allclose(loss, loss_r, rtol=2e-2)
+
+
+def _max_degs(tr):
+    return (int(np.asarray(tr.g.deg).max()),
+            int(np.asarray(tr.adj2.deg).max()))
+
+
+def test_sharded_ell_exactness(ds):
+    """ELL window tables on the node-sharded path (VERDICT r2 item 1a): with
+    pad caps above every row degree the frozen tables are exact, so the epoch
+    loss must be IDENTICAL with tables on vs off — including maskinput, whose
+    ELL-space routing (route_ell_mask + local scatter) is exercised by every
+    batch.  The rng stream is ELL-neutral by construction (train/loop.py)."""
+    probe = Trainer(_cfg(dp_devices=8, graph_sharding="node"), ds)
+    kmax, k2max = _max_degs(probe)
+    kw = dict(dp_devices=8, graph_sharding="node",
+              pad_deg=kmax + 1, pad_deg2=k2max + 1, linkbatchsize=16)
+    losses = {}
+    for ell in (False, True):
+        tr = Trainer(_cfg(ell_tables=ell, **kw), ds)
+        assert tr._use_ell == ell
+        state = tr.init_state(0)
+        state, losses[ell] = tr.train_epoch(
+            state, np.random.default_rng(0), epoch=1)
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
+def test_sharded_dual_k_matches_single_device(ds):
+    """Dual-K occupancy split on the node-sharded path (VERDICT r2 item 1b):
+    with the round-robin chunk->device interleave, every chunk's content and
+    frame width match the single-device split trainer exactly, and the
+    all-gathered scores are re-ordered to original positions — so with a
+    state-free predictor (cn7: no EMA) and stochastic knobs off, the sharded
+    loss equals the single-device dual-K loss to fp tolerance.  Uses a
+    pairing-sensitive loss (auc) so the inverse permutation is actually
+    load-bearing."""
+    probe = Trainer(_cfg(), ds)
+    kmax, k2max = _max_degs(probe)
+    kw = dict(predictor="cn7", k_small=8, small_frac=0.5, small_frac_neg=0.5,
+              pad_deg=kmax + 1, pad_deg2=k2max + 1, linkbatchsize=32,
+              losstrick="auc_loss", ell_tables=True)
+    tr_1 = Trainer(_cfg(**kw), ds)
+    tr_s = Trainer(_cfg(dp_devices=4, graph_sharding="node", **kw), ds)
+    assert tr_1._split == tr_s._split is not None
+    s1 = tr_1.init_state(0)
+    ss = tr_s.init_state(0)
+    rng1, rngs = np.random.default_rng(0), np.random.default_rng(0)
+    s1, l1 = tr_1.train_epoch(s1, rng1, epoch=1)
+    ss, ls = tr_s.train_epoch(ss, rngs, epoch=1)
+    assert np.isfinite(ls)
+    np.testing.assert_allclose(ls, l1, rtol=5e-4)
+
+
+def test_sharded_eval_matches_replicated(ds):
+    """Sharded evaluate() (VERDICT r2 item 1c): the adjacency / A^2 / ELL
+    tables stay sharded through eval scoring (make_sharded_encode +
+    make_sharded_score); only h is gathered.  With exact tables (caps above
+    every degree) the scores differ from the replicated path only by the
+    halo-exchange SpMM's float reassociation, so Hits@K must agree.
+
+    Column-sum granularity: the sharded scorer normalizes per device-local
+    chunk (linkbatchsize), the replicated one per testbs batch — a documented
+    deviation (PARITY.md §8) — so the replicated oracle here uses
+    testbs == linkbatchsize to make the chunk boundaries identical."""
+    probe = Trainer(_cfg(), ds)
+    kmax, k2max = _max_degs(probe)
+    kw = dict(ell_tables=True, pad_deg=kmax + 1, pad_deg2=k2max + 1,
+              linkbatchsize=16)
+    tr_s = Trainer(_cfg(dp_devices=8, graph_sharding="node", testbs=128,
+                        **kw), ds)
+    tr_r = Trainer(_cfg(testbs=16, **kw), ds)
+    state = tr_s.init_state(0)
+    # one sharded training epoch first: eval must consume the refreshed
+    # tables and a real (post-update) state
+    state, _ = tr_s.train_epoch(state, np.random.default_rng(0), epoch=1)
+    res_s = tr_s.evaluate(state)
+    # replicated trainer evaluates the SAME state (params are replicated);
+    # its own table refresh draws identical offsets (all zero at these caps)
+    tr_r._refresh_ell(np.random.default_rng(1))
+    res_r = tr_r.evaluate(state)
+    for k in res_s:
+        np.testing.assert_allclose(
+            res_s[k], res_r[k], atol=1e-9,
+            err_msg=f"{k}: sharded {res_s[k]} vs replicated {res_r[k]}")
+
+
+def test_sharded_production_config_epoch(ds):
+    """The full production lever set on the sharded path in one go: ELL
+    tables + dual-K split + maskinput, cn5, through the user-facing config.
+    Pins that train_epoch runs and the loss is finite with caps that BIND
+    (pad_deg below max degree exercises capping + frozen-window sampling)."""
+    cfg = _cfg(dp_devices=8, graph_sharding="node", ell_tables=True,
+               k_small=8, small_frac=0.5, small_frac_neg=0.5,
+               pad_deg=16, pad_deg2=32, linkbatchsize=16)
+    tr = Trainer(cfg, ds)
+    assert tr._use_ell and tr._split is not None
+    state = tr.init_state(0)
+    state, loss = tr.train_epoch(state, np.random.default_rng(0), epoch=1)
+    assert np.isfinite(loss)
