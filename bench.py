@@ -22,6 +22,13 @@ import numpy as np
 
 A100_REF_EDGES_PER_S = 60_000.0
 
+# Per-dataset vs_baseline denominators (VERDICT r2 item 6: no more
+# apples-to-oranges `vs_baseline 0.46` rows).  Only collab has a documented
+# estimate (BASELINE.md: ~60k edges/s on an 80 GB A100, itself an estimate —
+# the reference repo publishes no numbers).  Other shapes have no offline
+# cross-framework anchor; their JSON carries vs_baseline null + a note.
+DATASET_BASELINES = {"collab": A100_REF_EDGES_PER_S}
+
 # env knobs that select a non-default program; used to decide whether the
 # headline line needs a paired defaults rerun (drift discipline: absolute
 # edges/s drifts ±10-15% with the chip/tunnel window, so any variant number
@@ -94,20 +101,37 @@ def measure(defaults: bool = False):
 
     predictor = env("OCN_BENCH_PREDICTOR", "cn5")
     dataset = env("OCN_BENCH_DATASET", "collab")
+    # per-dataset shape overrides mirroring the README driver configs
+    # (VERDICT r2 item 6): citation2 = NeighborOverlapCitation2.py:235-259
+    # (randint-target negatives, ho stack, hiddim 64); ddi = README.md:59
+    # (puresum encoder, hiddim 224, near-dense degree ~500, host-SpGEMM A^2
+    # standing in for --adj2byblock).
+    shape = {}
+    if dataset == "citation2":
+        batch = int(env("OCN_BENCH_BATCH", "32768"))
+        chunk = int(env("OCN_BENCH_CHUNK", "2048"))
+        shape = dict(model="puregcn", hiddim=64, encoder_stack="ho",
+                     cn2_counts=True, neg_mode="randint_target")
+    elif dataset == "ddi":
+        batch = int(env("OCN_BENCH_BATCH", "24576"))
+        shape = dict(model="puresum", hiddim=224)
+    # memory plan: citation2's N=2.9M makes the A^2 table the dominant array
+    # (cap 128 ~ 1.5 GB packed; cap 1024 would be 12 GB)
+    adj2cap_default = "128" if dataset == "citation2" else "1024"
     cfg = Config(
         dataset=dataset, predictor=predictor, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
         ln=True, res=True, jk=True, use_xlin=True, tailact=True,
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
-        frame_group=group,
+        frame_group=group, **shape,
         k_small=int(env("OCN_BENCH_KSMALL", "16")),
         k_neg=int(env("OCN_BENCH_KNEG", "0")),
         pad_deg2_dst=int(env("OCN_BENCH_K2DST", "0")),
         window_table=env("OCN_BENCH_WINDOW", "0") == "1",
         dtype=env("OCN_BENCH_DTYPE", "bfloat16"),
         ell_tables=env("OCN_BENCH_ELL", "1") == "1",
-        adj2_cap=int(env("OCN_BENCH_ADJ2CAP", "1024")),
+        adj2_cap=int(env("OCN_BENCH_ADJ2CAP", adj2cap_default)),
         # incomplete-CN family levers (VERDICT r2 item 5): recursion frame
         # width cap, and preedp=0 keeps the ELL tables attached (DropAdj
         # detaches them per chunk — train/loop.py _use_ell note)
@@ -141,7 +165,11 @@ def measure(defaults: bool = False):
     from ocn_tpu.sparse import build as B
 
     pos = ds.split_edge["train"]["edge"].T
-    neg = B.negative_sampling(ds.edge_index, ds.n_nodes, e, rng)
+    if cfg.neg_mode == "randint_target":
+        # citation2 driver semantics (NeighborOverlapCitation2.py:181-182)
+        neg = np.stack([pos[0], rng.integers(0, ds.n_nodes, size=e)])
+    else:
+        neg = B.negative_sampling(ds.edge_index, ds.n_nodes, e, rng)
     perm = rng.permutation(e)[: batch * max(1, steps)]
 
     import jax.numpy as jnp
@@ -189,12 +217,18 @@ def main():
         jax.config.update("jax_platforms", os.environ["OCN_BENCH_PLATFORM"])
 
     metric, eps = measure()
+    dataset = os.environ.get("OCN_BENCH_DATASET", "collab")
+    base = DATASET_BASELINES.get(dataset)
     rec = {
         "metric": metric,
         "value": round(eps, 1),
         "unit": "edges/s",
-        "vs_baseline": round(eps / A100_REF_EDGES_PER_S, 3),
+        "vs_baseline": round(eps / base, 3) if base else None,
     }
+    if base is None:
+        rec["baseline_note"] = (
+            f"no offline cross-framework anchor for {dataset!r}; "
+            "see chip anchors for the drift denominator")
     if os.environ.get("OCN_BENCH_ANCHORS", "1") == "1":
         g_ms, mm_tflops = chip_anchors()
         # fast-window references (2026-08-20): gather 1.31 ms, ~126 Tflop/s

@@ -284,6 +284,13 @@ _PRESETS = {
         predp=0.1, preedp=0.0, xdp=0.1, tdp=0.1, gnnedp=0.1, probscale=4.3,
         proboffset=2.8, alpha=1.0, encoder_stack="ho", linkbatchsize=512,
         cn2_counts=True,
+        # memory plan for N=576k / E~60M directed (VERDICT r2 item 2): the
+        # A^2 window table is the largest per-graph array — cap 1024 on a
+        # degree-100 graph costs ~2.4 GB packed and starves the blocked SpMM;
+        # cap 256 fits (accuracy sensitivity rows: results/parity_deg100,
+        # BASELINE.md).  The (E, H) SpMM message tensor is bounded by the
+        # edge-blocked path in ops/spmm.py automatically.
+        adj2_cap=256,
         # dual-K occupancy split: +54% edges/s, Hits@K within noise
         # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
         k_small=16,

@@ -331,6 +331,13 @@ class FrameIndex:
     rank     : (M,) compact column index per sorted position (0..U-1)
     seg      : (M,) sorted ids clamped to n_nodes-1 (frame-matmul dx segments)
     rowidx   : (M,) chunk-row index per sorted position (perm // K)
+    rank_inv : (M,) compact column index per ENTRY (rank[inv_perm]) — built
+               with one scatter at index time so every entry_col_sum trip
+               out of the sorted domain is ONE gather (sums[rank_inv])
+               instead of two (sums[rank][inv_perm]); at the ~17 ns/
+               descriptor gather floor that removes an M-descriptor op from
+               the forward AND the self-adjoint backward of every column-sum
+               call (VERDICT r2 item 4; chip A/B in BENCH_NOTES round 3)
     """
 
     perm: jax.Array
@@ -338,13 +345,25 @@ class FrameIndex:
     rank: jax.Array
     seg: jax.Array
     rowidx: jax.Array
+    rank_inv: jax.Array
 
     def tree_flatten(self):
-        return (self.perm, self.inv_perm, self.rank, self.seg, self.rowidx), ()
+        return (self.perm, self.inv_perm, self.rank, self.seg, self.rowidx,
+                self.rank_inv), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    @property
+    def colsum_out_idx(self) -> jax.Array:
+        """Entry-domain output index for entry_col_sum*: the segment-sum
+        output is indexed by rank (normal path) or by sorted position
+        (OCN_TPU_SEG_SCAN associative-scan path, and the
+        OCN_TPU_COLSUM_3TRIP round-2 reference formulation)."""
+        if _use_seg_scan() or _use_colsum_3trip():
+            return self.inv_perm
+        return self.rank_inv
 
 
 def frame_index(ids: jax.Array, n_nodes: int) -> FrameIndex:
@@ -359,10 +378,11 @@ def frame_index(ids: jax.Array, n_nodes: int) -> FrameIndex:
     is_start = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
     )
-    rank = jnp.cumsum(is_start) - 1
+    rank = jnp.cumsum(is_start).astype(jnp.int32) - 1
     seg = jnp.minimum(sorted_ids, n_nodes - 1)
     rowidx = (perm // k).astype(jnp.int32)
-    return FrameIndex(perm, inv_perm, rank.astype(jnp.int32), seg, rowidx)
+    rank_inv = jnp.zeros((m,), jnp.int32).at[perm].set(rank)
+    return FrameIndex(perm, inv_perm, rank, seg, rowidx, rank_inv)
 
 
 def _seg_total(sv: jax.Array, rank: jax.Array) -> jax.Array:
@@ -403,6 +423,23 @@ def _seg_total(sv: jax.Array, rank: jax.Array) -> jax.Array:
     return total_rev[::-1]
 
 
+_COLSUM_3TRIP: Optional[bool] = None
+
+
+def _use_colsum_3trip() -> bool:
+    """Round-2 reference formulation (sums[rank][inv_perm] — three
+    M-descriptor trips per colsum direction) for same-day A/Bs against the
+    shipped 2-trip rank_inv path; opt-in via OCN_TPU_COLSUM_3TRIP=1.
+    Measured on chip 2026-08-20: colsum fwd 11.82 vs 9.32 ms, ortho f+b
+    26.99 vs 21.75 ms (BENCH_NOTES round 3)."""
+    global _COLSUM_3TRIP
+    if _COLSUM_3TRIP is None:
+        import os
+
+        _COLSUM_3TRIP = os.environ.get("OCN_TPU_COLSUM_3TRIP") in ("1", "true")
+    return _COLSUM_3TRIP
+
+
 _SEG_SCAN: Optional[bool] = None
 
 
@@ -424,34 +461,43 @@ def _use_seg_scan() -> bool:
 
 
 @jax.custom_vjp
-def entry_col_sum(val: jax.Array, perm, rank, inv_perm) -> jax.Array:
+def entry_col_sum(val: jax.Array, perm, rank, out_idx) -> jax.Array:
     """Per-entry column sums: out[b, k] = sum of val over entries sharing
     ids[b, k] — i.e. the batch column sum S[ids[b,k]] delivered directly at
     each entry (what `scale_cols(f(col_sum()))` consumes), with no n_nodes-
     domain array anywhere.  Linear and SELF-ADJOINT (the matrix [id_p == id_q]
-    is symmetric), so the VJP is the same map applied to the cotangent."""
+    is symmetric), so the VJP is the same map applied to the cotangent.
+
+    ``out_idx`` is ``FrameIndex.colsum_out_idx``: the per-entry RANK index
+    (sums[rank_inv], one gather out) on the default path, or the per-entry
+    sorted position under OCN_TPU_SEG_SCAN (the scan's output lives at
+    sorted positions).  Round 3 removed the old sums[rank][inv_perm] double
+    trip — one M-descriptor gather per direction saved (VERDICT r2 item 4).
+    """
     m = val.size
     sv = val.reshape(-1)[perm]
     if _use_seg_scan():
-        return _seg_total(sv, rank)[inv_perm].reshape(val.shape)
+        return _seg_total(sv, rank)[out_idx].reshape(val.shape)
     sums = jax.ops.segment_sum(sv, rank, num_segments=m, indices_are_sorted=True)
-    return sums[rank][inv_perm].reshape(val.shape)
+    if _use_colsum_3trip():  # out_idx is inv_perm here
+        return sums[rank][out_idx].reshape(val.shape)
+    return sums[out_idx].reshape(val.shape)
 
 
-def _entry_col_sum_fwd(val, perm, rank, inv_perm):
-    return entry_col_sum(val, perm, rank, inv_perm), (perm, rank, inv_perm)
+def _entry_col_sum_fwd(val, perm, rank, out_idx):
+    return entry_col_sum(val, perm, rank, out_idx), (perm, rank, out_idx)
 
 
 def _entry_col_sum_bwd(res, g):
-    perm, rank, inv_perm = res
-    return entry_col_sum(g, perm, rank, inv_perm), None, None, None
+    perm, rank, out_idx = res
+    return entry_col_sum(g, perm, rank, out_idx), None, None, None
 
 
 entry_col_sum.defvjp(_entry_col_sum_fwd, _entry_col_sum_bwd)
 
 
 @jax.custom_vjp
-def entry_col_sum_multi(vals: jax.Array, perm, rank, inv_perm) -> jax.Array:
+def entry_col_sum_multi(vals: jax.Array, perm, rank, out_idx) -> jax.Array:
     """entry_col_sum over P stacked value planes sharing one id array:
     vals (P, B, K) -> (P, B, K).  One sorted segment-sum pass with (M, P)
     contributions instead of P sequential passes — the cn5 pipeline needs the
@@ -463,19 +509,21 @@ def entry_col_sum_multi(vals: jax.Array, perm, rank, inv_perm) -> jax.Array:
         # (M, P) ROW-shaped permutation trips (one descriptor per entry, not
         # per entry*plane) + gather-free segment broadcast (_seg_total)
         sv = vals.reshape(p, -1).T[perm]  # (M, P)
-        return _seg_total(sv, rank)[inv_perm].T.reshape(vals.shape)
+        return _seg_total(sv, rank)[out_idx].T.reshape(vals.shape)
     sv = vals.reshape(p, -1)[:, perm].T  # (M, P)
     sums = jax.ops.segment_sum(sv, rank, num_segments=m, indices_are_sorted=True)
-    return sums[rank][inv_perm].T.reshape(vals.shape)
+    if _use_colsum_3trip():  # out_idx is inv_perm here
+        return sums[rank][out_idx].T.reshape(vals.shape)
+    return sums[out_idx].T.reshape(vals.shape)
 
 
-def _entry_col_sum_multi_fwd(vals, perm, rank, inv_perm):
-    return entry_col_sum_multi(vals, perm, rank, inv_perm), (perm, rank, inv_perm)
+def _entry_col_sum_multi_fwd(vals, perm, rank, out_idx):
+    return entry_col_sum_multi(vals, perm, rank, out_idx), (perm, rank, out_idx)
 
 
 def _entry_col_sum_multi_bwd(res, g):
-    perm, rank, inv_perm = res
-    return entry_col_sum_multi(g, perm, rank, inv_perm), None, None, None
+    perm, rank, out_idx = res
+    return entry_col_sum_multi(g, perm, rank, out_idx), None, None, None
 
 
 entry_col_sum_multi.defvjp(_entry_col_sum_multi_fwd, _entry_col_sum_multi_bwd)

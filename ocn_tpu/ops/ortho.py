@@ -41,7 +41,7 @@ def colnorm_quirk(
     FrameIndex) — numerically identical since the scale only ever applies at
     entries whose column is present in the chunk."""
     if fidx is not None:
-        s = entry_col_sum(cn.val, fidx.perm, fidx.rank, fidx.inv_perm)
+        s = entry_col_sum(cn.val, fidx.perm, fidx.rank, fidx.colsum_out_idx)
         s_rep = jnp.where(s == 0, 1.0, s)
         inv = jnp.where(s_rep != 1, 1.0 / s_rep, empty_fill)
         return cn.with_values(cn.val * inv)
@@ -54,7 +54,7 @@ def colnorm_quirk(
 def colnorm_plain(cn: CNFrame, fidx: Optional[FrameIndex] = None) -> CNFrame:
     """Column-normalize with the post-projection rule (model.py:2405-2413)."""
     if fidx is not None:
-        s = entry_col_sum(cn.val, fidx.perm, fidx.rank, fidx.inv_perm)
+        s = entry_col_sum(cn.val, fidx.perm, fidx.rank, fidx.colsum_out_idx)
         inv = 1.0 / jnp.where(s == 0, 1.0, s)
         return cn.with_values(cn.val * inv)
     s = cn.col_sum()
@@ -132,7 +132,7 @@ def orthogonalize(
                 jnp.where(u0, cn2.val, 0.0),
                 jnp.where(u0, cn1.val, 0.0),
             ]),
-            fidx.perm, fidx.rank, fidx.inv_perm,
+            fidx.perm, fidx.rank, fidx.colsum_out_idx,
         )
         es1, es2u, es1u = es[0], es[1], es[2]
         # colnorm_quirk on cn1 (model.py:2261-2272)

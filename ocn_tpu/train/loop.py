@@ -963,7 +963,11 @@ class Trainer:
         all-gathered scores.  Returns (pos, neg, mask_positions, inv_p,
         inv_n) as device-ready arrays (None where inapplicable).
         """
-        sharded = self.cfg.graph_sharding == "node"
+        # node sharding needs dp_devices > 1; at dp=1 the Trainer runs the
+        # plain single-device path (mesh is None) and must get the
+        # replicated-form mask aux
+        sharded = (self.cfg.graph_sharding == "node"
+                   and getattr(self, "mesh", None) is not None)
         inv_p = inv_n = None
         if self._split is not None:
             ar = np.arange(pos_b.shape[1])

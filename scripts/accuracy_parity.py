@@ -44,6 +44,11 @@ from ocn_tpu.train.loop import Trainer
 def base_config(graph: str, epochs: int, predictor: str = "cn5") -> Config:
     if graph in ("Cora", "Citeseer", "Pubmed"):
         cfg = presets(graph, predictor, epochs=epochs, runs=1)
+    elif graph == "ppa":
+        # degree-100 synthetic at CPU-trainable scale: the adj2_cap
+        # sensitivity proxy for the full-scale ppa preset (VERDICT r2 item 2)
+        cfg = presets("ppa", predictor, epochs=epochs, runs=1,
+                      batch_size=4096, testbs=8192, linkbatchsize=512)
     else:  # sbm
         cfg = Config(
             dataset="sbm", predictor=predictor, model="puregcn", mplayers=1,
@@ -94,6 +99,13 @@ def variant_overrides(name: str, max_deg: int) -> dict:
                      adj2_cap=1024, rec_k=8, ell_tables=False),
         "rec16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                       adj2_cap=1024, rec_k=16, ell_tables=False),
+        # A^2 row-cap sensitivity on a degree-100 graph (the ppa preset's
+        # memory plan pins adj2_cap=256; these rows measure what cap 256
+        # costs vs 1024 where the cap actually binds — avg A^2 row ~10^4)
+        "adj2cap256": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                           adj2_cap=256, ell_tables=True),
+        "adj2cap1024": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                            adj2_cap=1024, ell_tables=True),
         # deliberately harsh caps (sensitivity curve)
         "hard16": dict(pad_deg=16, pad_deg2=16, two_hop_mode="gather",
                        adj2_cap=256, ell_tables=False),
@@ -120,8 +132,9 @@ def variant_overrides(name: str, max_deg: int) -> dict:
 
 
 def run_one(graph: str, variant: str, run_i: int, epochs: int,
-            eval_every: int, predictor: str = "cn5") -> dict:
-    ds = loaddataset(graph, seed=run_i)
+            eval_every: int, predictor: str = "cn5",
+            scale: float = 1.0) -> dict:
+    ds = loaddataset(graph, seed=run_i, synthetic_scale=scale)
     deg = np.bincount(np.asarray(ds.edge_index[0]), minlength=ds.n_nodes)
     cfg = base_config(graph, epochs, predictor)
     for k, v in variant_overrides(variant, int(deg.max())).items():
@@ -146,7 +159,7 @@ def run_one(graph: str, variant: str, run_i: int, epochs: int,
               flush=True)
     return {
         "graph": graph, "variant": variant, "run": run_i,
-        "predictor": predictor,
+        "predictor": predictor, "scale": scale,
         "epochs": epochs, "wall_s": round(time.time() - t0, 1),
         "pad_deg": cfg.pad_deg, "two_hop_mode": cfg.two_hop_mode,
         "k_small": cfg.k_small,
@@ -180,6 +193,9 @@ def main():
     ap.add_argument("--eval_every", type=int, default=3)
     ap.add_argument("--variants", default="exact,capped,capped_k16,hard16")
     ap.add_argument("--predictor", default="cn5")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="synthetic graph scale (e.g. 0.01 for the ppa "
+                         "degree-100 adj2_cap sensitivity rows)")
     ap.add_argument("--out", default="results/parity.jsonl")
     ap.add_argument("--table", action="store_true",
                     help="only print the aggregate table from --out")
@@ -208,7 +224,7 @@ def main():
                 continue
             print(f"=== {key}", flush=True)
             rec = run_one(args.graph, variant, run_i, args.epochs,
-                          args.eval_every, args.predictor)
+                          args.eval_every, args.predictor, args.scale)
             with open(args.out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
     print_table(args.out)

@@ -45,8 +45,15 @@ def main():
     if tr._use_ell:
         tr._refresh_ell(np.random.default_rng(1))
 
-    for label, ell_eval in (("ell_eval=1", True), ("ell_eval=0", False)):
+    # round-3 grid: dual-K at eval (VERDICT r2 item 7) on top of the round-2
+    # ell_eval lever; Hits printed so metric shifts are visible in the A/B
+    for label, ell_eval, dual in (
+        ("ell=1 dualK=1", True, True),
+        ("ell=1 dualK=0", True, False),
+        ("ell=0 dualK=0", False, False),
+    ):
         tr.cfg.ell_eval = ell_eval
+        tr.cfg.dual_k_eval = dual
         res = tr.evaluate(state)  # compile + warm
         t0 = time.perf_counter()
         res = tr.evaluate(state)

@@ -68,8 +68,7 @@ def main():
         if mode == "sharded_prod":
             if tr._use_ell:
                 tr._refresh_ell(np.random.default_rng(1))
-            pe, ne, mp, ip, inn = tr.prepare_batch(pos[:, idx], neg[:, idx],
-                                                   idx)
+            pe, ne, mp, ip, inn = tr.prepare_batch(pos[:, idx], neg, idx)
 
             def step(state, _pe, _ne, _mp, k):
                 return tr.train_step(state, pe, ne, mp, k, ip, inn)

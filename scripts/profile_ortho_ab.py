@@ -119,13 +119,25 @@ def main():
             sv, rank, num_segments=M, indices_are_sorted=True)
         return sums[rank][inv_perm].T.reshape(vals.shape)
 
+    def cs_2trip(s):
+        # round-3 shipped formulation: sums[rank_inv] — one gather out
+        v = vals + s.astype(jnp.float32) * 0
+        sv = v.reshape(P, -1)[:, perm].T
+        sums = jax.ops.segment_sum(
+            sv, rank, num_segments=M, indices_are_sorted=True)
+        return sums[fidx.rank_inv].T.reshape(vals.shape)
+
     a = np.asarray(cs_cur(jnp.zeros((), jnp.int32)))
     b = np.asarray(cs_rm(jnp.zeros((), jnp.int32)))
+    c = np.asarray(cs_2trip(jnp.zeros((), jnp.int32)))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+    np.testing.assert_allclose(a, c, rtol=1e-6)
     t = chained_timeit(cs_cur, (), n=20)
-    print(f"cs_cur     : {t:7.2f} ms ((P,M) axis-1 gather in)")
+    print(f"cs_cur     : {t:7.2f} ms (3-trip: [perm], [rank], [inv_perm])")
     t = chained_timeit(cs_rm, (), n=20)
     print(f"cs_rm      : {t:7.2f} ms ((M,P) transpose-first row gathers)")
+    t = chained_timeit(cs_2trip, (), n=20)
+    print(f"cs_2trip   : {t:7.2f} ms (2-trip: [perm], [rank_inv] — shipped)")
 
     # ---- composed orthogonalize f+b --------------------------------------
     cn1 = CNFrame(ids, vals[0], N)

@@ -295,7 +295,7 @@ def test_frame_index_entry_col_sum(rng):
     ids = jnp.asarray(rng.integers(0, n + 1, size=(b, k)), jnp.int32)
     val = jnp.asarray(rng.random((b, k)), jnp.float32)
     fidx = frame_index(ids, n)
-    got = entry_col_sum(val, fidx.perm, fidx.rank, fidx.inv_perm)
+    got = entry_col_sum(val, fidx.perm, fidx.rank, fidx.colsum_out_idx)
 
     def naive(v):
         s = jax.ops.segment_sum(v.reshape(-1), ids.reshape(-1), num_segments=n + 1)
@@ -306,7 +306,7 @@ def test_frame_index_entry_col_sum(rng):
     co = jnp.asarray(rng.standard_normal((b, k)), jnp.float32)
     g0 = jax.grad(lambda v: jnp.sum(naive(v) * co))(val)
     g1 = jax.grad(
-        lambda v: jnp.sum(entry_col_sum(v, fidx.perm, fidx.rank, fidx.inv_perm) * co)
+        lambda v: jnp.sum(entry_col_sum(v, fidx.perm, fidx.rank, fidx.colsum_out_idx) * co)
     )(val)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6)
 

@@ -27,12 +27,12 @@ def test_entry_col_sum_matches_oracle(monkeypatch, seg_scan):
     ids = jnp.asarray(rng.integers(0, N, (B, K)), jnp.int32)
     val = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
     fi = frame_index(ids, N)
-    out = entry_col_sum(val, fi.perm, fi.rank, fi.inv_perm)
+    out = entry_col_sum(val, fi.perm, fi.rank, fi.colsum_out_idx)
     ref = dense_oracle(np.asarray(ids), np.asarray(val), N)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
     vals3 = jnp.asarray(rng.standard_normal((3, B, K)), jnp.float32)
-    outm = entry_col_sum_multi(vals3, fi.perm, fi.rank, fi.inv_perm)
+    outm = entry_col_sum_multi(vals3, fi.perm, fi.rank, fi.colsum_out_idx)
     for p in range(3):
         np.testing.assert_allclose(
             np.asarray(outm[p]),
@@ -50,9 +50,9 @@ def test_entry_col_sum_grad_self_adjoint(monkeypatch, seg_scan):
     w = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
     fi = frame_index(ids, N)
     g = jax.grad(
-        lambda v: jnp.sum(w * entry_col_sum(v, fi.perm, fi.rank, fi.inv_perm))
+        lambda v: jnp.sum(w * entry_col_sum(v, fi.perm, fi.rank, fi.colsum_out_idx))
     )(val)
-    ref = entry_col_sum(w, fi.perm, fi.rank, fi.inv_perm)
+    ref = entry_col_sum(w, fi.perm, fi.rank, fi.colsum_out_idx)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=1e-4)
 
 
@@ -63,7 +63,7 @@ def test_seg_scan_and_segment_sum_paths_agree(monkeypatch):
     vals = jnp.asarray(rng.standard_normal((2, B, K)), jnp.float32)
     fi = frame_index(ids, N)
     monkeypatch.setattr(F, "_SEG_SCAN", True)
-    a = entry_col_sum_multi(vals, fi.perm, fi.rank, fi.inv_perm)
+    a = entry_col_sum_multi(vals, fi.perm, fi.rank, fi.colsum_out_idx)
     monkeypatch.setattr(F, "_SEG_SCAN", False)
-    b = entry_col_sum_multi(vals, fi.perm, fi.rank, fi.inv_perm)
+    b = entry_col_sum_multi(vals, fi.perm, fi.rank, fi.colsum_out_idx)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
