@@ -115,16 +115,28 @@ def measure(defaults: bool = False):
     elif dataset == "ddi":
         batch = int(env("OCN_BENCH_BATCH", "24576"))
         shape = dict(model="puresum", hiddim=224)
+    elif dataset == "ppa" and env("OCN_BENCH_PPA_SHAPE", "preset") == "preset":
+        # the ('ppa','cn5') preset shape (README.md:47 of the reference;
+        # VERDICT r2 item 2): hiddim 64 / 1 layer / ho stack / linkbatch 512.
+        # OCN_BENCH_PPA_SHAPE=collab keeps the collab-flavored config for
+        # continuity with the round-2 scale-0.5 row.
+        batch = int(env("OCN_BENCH_BATCH", "16384"))
+        chunk = int(env("OCN_BENCH_CHUNK", "512"))
+        shape = dict(model="gcn", hiddim=64, mplayers=1, encoder_stack="ho",
+                     cn2_counts=True, ln=False, res=False, jk=False,
+                     gnndp=0.1, xdp=0.1, tdp=0.1, gnnedp=0.1, predp=0.1,
+                     preedp=0.0)
     # memory plan: citation2's N=2.9M makes the A^2 table the dominant array
-    # (cap 128 ~ 1.5 GB packed; cap 1024 would be 12 GB)
-    adj2cap_default = "128" if dataset == "citation2" else "1024"
-    cfg = Config(
+    # (cap 128 ~ 1.5 GB packed; cap 1024 would be 12 GB); ppa's memory plan
+    # (deg ~100) pins cap 256 (config.py preset note)
+    adj2cap_default = {"citation2": "128", "ppa": "256"}.get(dataset, "1024")
+    base = dict(
         dataset=dataset, predictor=predictor, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
         ln=True, res=True, jk=True, use_xlin=True, tailact=True,
         gnndp=0.25, xdp=0.25, tdp=0.05, gnnedp=0.25, predp=0.3, preedp=0.3,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
-        frame_group=group, **shape,
+        frame_group=group,
         k_small=int(env("OCN_BENCH_KSMALL", "16")),
         k_neg=int(env("OCN_BENCH_KNEG", "0")),
         pad_deg2_dst=int(env("OCN_BENCH_K2DST", "0")),
@@ -137,6 +149,8 @@ def measure(defaults: bool = False):
         # detaches them per chunk — train/loop.py _use_ell note)
         rec_k=int(env("OCN_BENCH_RECK", "0")),
     )
+    base.update(shape)
+    cfg = Config(**base)
     if env("OCN_BENCH_PREEDP", "") != "":
         cfg.preedp = float(env("OCN_BENCH_PREEDP", "0.3"))
     ds = synthetic_dataset(dataset, seed=0, scale=scale)
@@ -155,12 +169,12 @@ def measure(defaults: bool = False):
         # ELL tables here and charge their per-epoch rebuild to the step
         # time below (amortized over the steps one epoch contains)
         tr._refresh_ell(np.random.default_rng(1))  # compile/warm
-        jax.device_get(tr._ell["tbl2"][0, 0])
+        jax.device_get(tr._ell["tbl1"][0, 0])
         t0 = time.perf_counter()
         tr._refresh_ell(np.random.default_rng(2))
         # fetch forces completion (block_until_ready alone is unreliable
         # through the tunnel for independent dispatches, BENCH_NOTES.md r2)
-        jax.device_get(tr._ell["tbl2"][0, 0])
+        jax.device_get(tr._ell["tbl1"][0, 0])
         refresh_s = time.perf_counter() - t0
     from ocn_tpu.sparse import build as B
 
@@ -192,14 +206,14 @@ def measure(defaults: bool = False):
     # warmup / compile
     pe, ne, mp, k0, inv_p, inv_n = batches[0]
     state, loss = tr.train_step(state, pe, ne, mp, key, inv_p, inv_n)
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # fetch forces completion (axon block_until_ready bug, BENCH_NOTES r2)
 
     t0 = time.perf_counter()
     done = 0
     for pe, ne, mp, ki, inv_p, inv_n in batches[:steps]:
         state, loss = tr.train_step(state, pe, ne, mp, ki, inv_p, inv_n)
         done += 2 * batch  # pos + neg links scored per step
-    jax.block_until_ready(loss)
+    jax.device_get(loss)  # fetch forces completion (axon block_until_ready bug, BENCH_NOTES r2)
     dt = time.perf_counter() - t0
     # amortize the per-epoch ELL refresh over an epoch's worth of steps
     steps_per_epoch = max(1, e // batch)
