@@ -242,133 +242,188 @@ class Config:
         )
 
 
-# per-dataset presets replicating the README commands (README.md:24-98)
-_PRESETS = {
-    # README.md:27 — Cora OCN
-    ("Cora", "cn5"): dict(
-        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
-        jk=True, gnndp=0.05, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
-        preedp=0.4, gnnlr=0.0043, prelr=0.0024, batch_size=1152,
-        model="puregcn", predictor="cn5", testbs=8192, epochs=100, runs=10,
-    ),
-    # README.md:31 — Citeseer OCN
-    ("Citeseer", "cn5"): dict(
-        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
-        jk=True, gnndp=0.5, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
-        preedp=0.4, gnnlr=0.0085, prelr=0.0078, batch_size=384,
-        model="puregcn", predictor="cn5", testbs=4096, epochs=100, runs=10,
-    ),
-    # README.md:35 — Pubmed OCN
-    ("Pubmed", "cn5"): dict(
-        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
-        gnndp=0.13, xdp=0.41, tdp=0.0, gnnedp=0.0, predp=0.10, preedp=0.4,
-        gnnlr=0.0097, prelr=0.0029, batch_size=2048, model="puregcn",
-        predictor="cn5", testbs=8192, epochs=100, runs=10,
-    ),
-    # README.md:41 — collab OCN
-    ("collab", "cn5"): dict(
-        predictor="cn5", dataset="collab", epochs=100, runs=10, hiddim=256,
-        mplayers=3, gnndp=0.25, ln=True, model="gcn", testbs=131072,
-        maskinput=True, jk=True, use_valedges_as_input=True, res=True,
-        use_xlin=True, tailact=True, batch_size=65536, gnnlr=0.001,
-        prelr=0.001, predp=0.3, preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25,
-        # dual-K occupancy split: +54% edges/s, Hits@K within noise
-        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
-        k_small=16,
-    ),
-    # README.md:47 — ppa OCN
-    ("ppa", "cn5"): dict(
-        predictor="cn5", dataset="ppa", epochs=40, runs=10, hiddim=64,
-        mplayers=1, gnndp=0.1, model="gcn", maskinput=True, use_xlin=True,
-        tailact=True, batch_size=16384, testbs=8192, gnnlr=0.001, prelr=0.001,
-        predp=0.1, preedp=0.0, xdp=0.1, tdp=0.1, gnnedp=0.1, probscale=4.3,
-        proboffset=2.8, alpha=1.0, encoder_stack="ho", linkbatchsize=512,
-        cn2_counts=True,
-        # memory plan for N=576k / E~60M directed (VERDICT r2 item 2): the
-        # A^2 window table is the largest per-graph array — cap 1024 on a
-        # degree-100 graph costs ~2.4 GB packed and starves the blocked SpMM;
-        # cap 256 fits (accuracy sensitivity rows: results/parity_deg100,
-        # BASELINE.md).  The (E, H) SpMM message tensor is bounded by the
-        # edge-blocked path in ops/spmm.py automatically.
-        adj2_cap=256,
-        # dual-K occupancy split: +54% edges/s, Hits@K within noise
-        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
-        k_small=16,
-    ),
-    # README.md:53 — citation2 OCN
-    ("citation2", "cn5"): dict(
-        predictor="cn5", dataset="citation2", epochs=20, runs=10, hiddim=64,
-        mplayers=3, gnndp=0.3, model="puregcn", maskinput=True,
-        batch_size=32768, linkbatchsize=2048, testbs=8192, gnnlr=0.001,
-        prelr=0.001, predp=0.3, preedp=0.3, encoder_stack="ho",
-        cn2_counts=True, neg_mode="randint_target",
-    ),
-    # README.md:59 — ddi OCN (the README's `--alpha 7.18--probscale` typo is
-    # resolved as alpha=7.18, probscale left default; SURVEY.md §5 defects)
-    ("ddi", "cn5"): dict(
-        predictor="cn5", dataset="ddi", epochs=100, runs=10, hiddim=224,
-        mplayers=3, gnndp=0.05, ln=True, model="puresum", testbs=24576,
-        maskinput=True, use_xlin=True, twolayerlin=True, res=True,
-        batch_size=24576, gnnlr=0.0021, prelr=0.0013, predp=0.05, preedp=0.05,
-        xdp=0.05, tdp=0.05, gnnedp=0.05, alpha=7.18, adj2byblock=True,
-    ),
-    # README.md:66-98 — OCNP (cn7) variants
-    ("Cora", "cn7"): dict(
-        mplayers=1, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
-        jk=True, gnndp=0.05, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
-        preedp=0.4, gnnlr=0.0043, prelr=0.0024, batch_size=1152,
-        model="puregcn", predictor="cn7", testbs=8192, epochs=100, runs=10,
-    ),
-    ("Citeseer", "cn7"): dict(
-        mplayers=3, hiddim=256, ln=True, lnnn=True, res=True, maskinput=True,
-        jk=True, gnndp=0.5, xdp=0.7, tdp=0.3, gnnedp=0.0, predp=0.05,
-        preedp=0.4, gnnlr=0.0085, prelr=0.0078, batch_size=384,
-        model="puremean", predictor="cn7", testbs=4096, epochs=100, runs=10,
-    ),
-    # SPD.py equivalent: citation2 with exactly-distance-2 cn2 (SPD.py:65-95)
-    ("citation2", "spd"): dict(
-        predictor="cn5", dataset="citation2", epochs=20, runs=10, hiddim=64,
-        mplayers=3, gnndp=0.3, model="puregcn", maskinput=True,
-        batch_size=32768, linkbatchsize=2048, testbs=8192, gnnlr=0.001,
-        prelr=0.001, predp=0.3, preedp=0.3, encoder_stack="ho",
-        cn2_counts=True, exact_two_hop=True, two_hop_mode="sddmm",
-        neg_mode="randint_target",
-    ),
-    # PLNLP.py equivalent: collab with a ranking loss (PLNLP.py:155-191)
-    ("collab", "plnlp"): dict(
-        predictor="cn5", dataset="collab", epochs=100, runs=10, hiddim=256,
-        mplayers=3, gnndp=0.25, ln=True, model="gcn", testbs=131072,
-        maskinput=True, jk=True, use_valedges_as_input=True, res=True,
-        use_xlin=True, tailact=True, batch_size=65536, gnnlr=0.001,
-        prelr=0.001, predp=0.3, preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25,
-        # dual-K occupancy split: +54% edges/s, Hits@K within noise
-        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
-        k_small=16,
-        losstrick="auc_loss",
-    ),
-    ("collab", "cn7"): dict(
-        predictor="cn7", dataset="collab", epochs=100, runs=10, hiddim=256,
-        mplayers=3, gnndp=0.25, ln=True, model="gin", testbs=131072,
-        maskinput=True, use_valedges_as_input=True, res=True, use_xlin=True,
-        tailact=True, batch_size=65536, gnnlr=0.001, prelr=0.001, predp=0.3,
-        preedp=0.3, xdp=0.25, tdp=0.05, gnnedp=0.25, jk=True,
-        # dual-K occupancy split: +54% edges/s, Hits@K within noise
-        # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
-        k_small=16,
-    ),
+# ---------------------------------------------------------------------------
+# README-faithful presets (VERDICT round-3 item 1).
+#
+# `_README_PRESETS[(dataset, predictor)]` is a field-for-field translation of
+# the reference command at the cited README.md line.  A dict lists EXACTLY the
+# flags the command pins; every field not listed takes the `Config` default,
+# and `Config` defaults mirror the reference argparse defaults
+# (NeighborOverlap_large.py:183-250; the ppa/citation2 drivers differ only on
+# `--sum` default 0 and `--linkbatchsize` default 8192, both pinned explicitly
+# by their commands).  Pinned by tests/test_presets.py against frozen dicts.
+#
+# `_DRIVER_OVERLAYS` encodes WHICH reference driver the command invokes —
+# still fidelity, not tuning: the ppa/citation2/SPD commands run the pygho
+# stack (GCN2/GCN3 encoders, path-count cn2 values, randint-target negatives,
+# SPD's exactly-distance-2 mask), which the README command line itself cannot
+# express because the reference splits them across script files.
+#
+# `_TPU_OVERLAYS` holds the TPU-native performance/memory knobs (dual-K
+# split, A^2 row caps) — fields with NO reference counterpart, separable via
+# ``presets(..., tpu_overlay=False)``.  They never touch reference flags.
+# ---------------------------------------------------------------------------
+
+# README.md:27 — Cora OCN (no --res; --sum 0 changes cn7's empty-column fill
+# and is carried by cn5 for flag fidelity even though cn5 ignores it)
+_CORA_CMD = dict(
+    xdp=0.7, tdp=0.3, pt=0.75, gnnedp=0.0, preedp=0.4, predp=0.05,
+    gnndp=0.05, probscale=4.3, proboffset=2.8, alpha=1.0, gnnlr=0.0043,
+    prelr=0.0024, batch_size=1152, ln=True, lnnn=True, epochs=100, runs=10,
+    model="puregcn", hiddim=256, mplayers=1, testbs=8192, maskinput=True,
+    jk=True, use_xlin=True, tailact=True, sum=0.0,
+)
+# README.md:31 / :71 — Citeseer OCN and OCNP share one command verbatim
+_CITESEER_CMD = dict(
+    epochs=100, runs=10, batch_size=384, testbs=4096, use_xlin=True,
+    maskinput=True, lnnn=True, res=True, jk=True, model="puremean",
+    mplayers=3, nnlayers=1, hiddim=64, gnndp=0.12, xdp=0.73, tdp=0.88,
+    gnnedp=0.07, predp=0.19, preedp=0.66, gnnlr=0.0009, prelr=0.00096,
+    beta=4.36, alpha=2.48, probscale=6.19, proboffset=9.69, pt=0.042,
+    cnprob=0.94, sum=27.29,
+)
+# README.md:37 / :76 — Pubmed OCN and OCNP share one command verbatim
+_PUBMED_CMD = dict(
+    xdp=0.3, tdp=0.0, pt=0.5, gnnedp=0.0, preedp=0.0, predp=0.05, gnndp=0.1,
+    probscale=5.3, proboffset=0.5, alpha=0.3, gnnlr=0.0097, prelr=0.002,
+    batch_size=2048, ln=True, lnnn=True, epochs=200, runs=10, model="puregcn",
+    hiddim=256, mplayers=1, testbs=8192, maskinput=True, jk=True,
+    use_xlin=True, tailact=True, sum=1.0,
+)
+# README.md:42 — collab OCN (gin encoder, 1 layer, no --res)
+_COLLAB_OCN_CMD = dict(
+    use_valedges_as_input=True, epochs=200, runs=10, batch_size=65536,
+    testbs=65536, maskinput=True, mplayers=1, nnlayers=3, hiddim=256,
+    ln=True, lnnn=True, jk=True, gnndp=0.05, xdp=0.7, tdp=0.3, gnnedp=0.0,
+    predp=0.05, preedp=0.4, gnnlr=0.0043, prelr=0.0024, beta=1.0, alpha=1.0,
+    use_xlin=True, tailact=True, probscale=4.3, proboffset=2.8, pt=0.75,
+    depth=1, model="gin",
+)
+# README.md:81 — collab OCNP (different dropouts/lrs; --res, no --jk)
+_COLLAB_OCNP_CMD = dict(
+    xdp=0.25, tdp=0.05, pt=0.1, gnnedp=0.25, preedp=0.0, predp=0.3,
+    gnndp=0.1, probscale=2.5, proboffset=6.0, alpha=1.05, gnnlr=0.0082,
+    prelr=0.0037, batch_size=65536, ln=True, lnnn=True, epochs=100, runs=10,
+    model="gin", hiddim=256, mplayers=1, testbs=131072, maskinput=True,
+    use_valedges_as_input=True, res=True, use_xlin=True, tailact=True,
+)
+# README.md:47 / :86 — ppa OCN and OCNP share one command verbatim
+# (NeighborOverlap_large_ppa.py driver: all dropouts 0, --ln --lnnn --jk)
+_PPA_CMD = dict(
+    sum=0.0, epochs=20, runs=10, batch_size=16384, linkbatchsize=2048,
+    testbs=2048, maskinput=True, mplayers=1, nnlayers=3, hiddim=64, ln=True,
+    lnnn=True, jk=True, gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0,
+    preedp=0.0, gnnlr=0.0013, prelr=0.0013, beta=1.0, alpha=1.0,
+    use_xlin=True, tailact=True, probscale=4.3, proboffset=2.8, pt=0.75,
+    depth=1, model="gcn", cnprob=0.0,
+)
+# README.md:53 / :92 — citation2 OCN and OCNP share one command verbatim
+# (NeighborOverlapCitation2.py driver: --ln --res --jk, no lnnn/maskinput)
+_CITATION2_CMD = dict(
+    epochs=20, runs=10, batch_size=16384, testbs=2048, linkbatchsize=2048,
+    use_xlin=True, ln=True, res=True, jk=True, tailact=True, model="gcn",
+    mplayers=5, nnlayers=3, hiddim=32, depth=3, gnndp=0.28, xdp=0.5,
+    tdp=0.28, gnnedp=0.20, predp=0.10, preedp=0.12, gnnlr=0.00023,
+    prelr=0.0008, beta=0.23, alpha=1.33, probscale=2.64, proboffset=4.5,
+    pt=0.34, cnprob=0.78, sum=1.0,
+)
+# README.md:59 / :98 — ddi OCN and OCNP share one command verbatim.  The
+# README's `--alpha 7.18--probscale 4.31` typo (which argparse would reject)
+# is resolved as alpha=7.18, probscale=4.31 — SURVEY.md §5 known defects.
+_DDI_CMD = dict(
+    epochs=100, runs=10, batch_size=32768, testbs=32768, use_xlin=True,
+    adj2byblock=True, maskinput=True, lnnn=True, res=True, learnpt=True,
+    model="puregcn", mplayers=3, nnlayers=3, hiddim=64, gnndp=0.25, xdp=0.13,
+    tdp=0.38, gnnedp=0.51, predp=0.10, preedp=0.13, gnnlr=0.0009,
+    prelr=0.00083, beta=0.33, alpha=7.18, probscale=4.31, proboffset=4.11,
+    pt=0.73, cnprob=0.93, sum=2.74,
+)
+
+_README_PRESETS = {
+    ("Cora", "cn5"): dict(_CORA_CMD),
+    # README.md:66 — Cora OCNP: same flags, batch 1024 and 200 epochs
+    ("Cora", "cn7"): {**_CORA_CMD, "batch_size": 1024, "epochs": 200},
+    ("Citeseer", "cn5"): dict(_CITESEER_CMD),
+    ("Citeseer", "cn7"): dict(_CITESEER_CMD),
+    ("Pubmed", "cn5"): dict(_PUBMED_CMD),
+    ("Pubmed", "cn7"): dict(_PUBMED_CMD),
+    ("collab", "cn5"): dict(_COLLAB_OCN_CMD),
+    ("collab", "cn7"): dict(_COLLAB_OCNP_CMD),
+    ("ppa", "cn5"): dict(_PPA_CMD),
+    ("ppa", "cn7"): dict(_PPA_CMD),
+    ("citation2", "cn5"): dict(_CITATION2_CMD),
+    ("citation2", "cn7"): dict(_CITATION2_CMD),
+    ("ddi", "cn5"): dict(_DDI_CMD),
+    ("ddi", "cn7"): dict(_DDI_CMD),
+    # driver aliases (no README command of their own):
+    # SPD.py = the citation2 command with exactly-distance-2 cn2 (SPD.py:65-95)
+    ("citation2", "spd"): {**_CITATION2_CMD, "predictor": "cn5"},
+    # PLNLP.py = the collab command with a ranking loss (PLNLP.py:155-191)
+    ("collab", "plnlp"): {**_COLLAB_OCN_CMD, "predictor": "cn5",
+                          "losstrick": "auc_loss"},
+}
+
+# which reference DRIVER executes the command (stack fidelity, not tuning)
+_PYGHO_STACK = dict(encoder_stack="ho", cn2_counts=True)
+_DRIVER_OVERLAYS = {
+    ("ppa", "cn5"): dict(_PYGHO_STACK),                       # ppa driver
+    ("ppa", "cn7"): dict(_PYGHO_STACK),
+    ("citation2", "cn5"): {**_PYGHO_STACK, "neg_mode": "randint_target"},
+    ("citation2", "cn7"): {**_PYGHO_STACK, "neg_mode": "randint_target"},
+    ("citation2", "spd"): {**_PYGHO_STACK, "neg_mode": "randint_target",
+                           "exact_two_hop": True},
+}
+
+# TPU-native knobs (no reference counterpart; presets(..., tpu_overlay=False)
+# strips them).  Only fields from _TPU_OVERLAY_FIELDS may appear here — the
+# preset test enforces that no reference flag hides in an overlay.
+_TPU_OVERLAY_FIELDS = frozenset({
+    "pad_deg", "pad_deg2", "pad_deg2_dst", "count2_chunk", "two_hop_mode",
+    "hoist_frames", "frame_group", "adj2_cap", "adj3_cap", "window_table",
+    "reorder", "k_small", "small_frac", "small_frac_neg", "k_neg",
+    "ell_tables", "ell_refresh", "ell_eval", "rec_k", "dual_k_eval",
+    "eval_sampling", "sort_batch", "dtype", "graph_sharding", "dp_devices",
+    "tp_devices",
+})
+_TPU_OVERLAYS = {
+    # dual-K occupancy split: +54% edges/s, Hits@K within noise
+    # (results/parity_sbm.jsonl lb256 A/B; BENCH_NOTES.md round-1 3rd cont.)
+    ("collab", "cn5"): dict(k_small=16),
+    ("collab", "cn7"): dict(k_small=16),
+    ("collab", "plnlp"): dict(k_small=16),
+    # ppa memory plan for N=576k / E~60M directed (VERDICT r2 item 2): the
+    # A^2 window table is the largest per-graph array — cap 1024 on a
+    # degree-100 graph costs ~2.4 GB packed and starves the blocked SpMM;
+    # cap 256 fits (sensitivity rows: results/parity_ppa_deg100.jsonl,
+    # BASELINE.md; de-risking it is VERDICT r3 item 4).
+    ("ppa", "cn5"): dict(k_small=16, adj2_cap=256),
+    ("ppa", "cn7"): dict(k_small=16, adj2_cap=256),
+    # citation2 memory plan: N=2.9M makes the A^2 table dominant (cap 128
+    # ~1.5 GB packed; cap 1024 would be 12 GB)
+    ("citation2", "cn5"): dict(adj2_cap=128),
+    ("citation2", "cn7"): dict(adj2_cap=128),
+    ("citation2", "spd"): dict(adj2_cap=128, two_hop_mode="sddmm"),
 }
 
 
-def presets(dataset: str, predictor: str = "cn5", **overrides) -> Config:
-    """Look up the README preset for (dataset, predictor).
+def presets(dataset: str, predictor: str = "cn5", tpu_overlay: bool = True,
+            **overrides) -> Config:
+    """Config for the reference README command at (dataset, predictor).
 
-    ``predictor`` may also be a driver alias ("spd", "plnlp") whose preset
-    pins its own real predictor key.
+    The README layer is field-for-field faithful to README.md:24-98 (pinned
+    by tests/test_presets.py); the driver layer adds the stack the reference
+    script wires in; ``tpu_overlay=True`` (default) adds the TPU performance/
+    memory knobs, which never touch reference flags.  ``predictor`` may also
+    be a driver alias ("spd", "plnlp") whose preset pins its own real
+    predictor key.
     """
-    base = dict(_PRESETS.get((dataset, predictor), {}))
-    base.setdefault("dataset", dataset)
+    key = (dataset, predictor)
+    base = dict(_README_PRESETS.get(key, {}))
+    base.update(_DRIVER_OVERLAYS.get(key, {}))
+    if tpu_overlay:
+        base.update(_TPU_OVERLAYS.get(key, {}))
+    base["dataset"] = dataset
     if "predictor" not in base:
         base["predictor"] = predictor
-    base["dataset"] = dataset
     base.update(overrides)
     return Config(**base)
