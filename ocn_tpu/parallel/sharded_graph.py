@@ -437,13 +437,19 @@ def route_ell_mask(
     """Route global ELL flat mask positions (sparse/ell.py
     mask_ell_flat_positions; -1 = edge outside its row's frozen window) to
     per-device LOCAL flat scatter positions + cleared packed values.
-    Unused lanes carry -1 (dropped by the device scatter, mode="drop")."""
+
+    Unused lanes carry the POSITIVE out-of-bounds sentinel rows_per*k: JAX
+    wraps negative indices before OOB handling, so a -1 sentinel would
+    scatter into each shard's last flat position (row (d+1)*rows_per-1, lane
+    k-1) and silently delete a real neighbor whenever that row's degree >= k
+    (round-3 advisor finding, medium).  mode="drop" genuinely drops positive
+    OOB indices (tests/test_ell.py::test_sentinel_scatter_is_identity)."""
     flat = np.asarray(flat, np.int64)
     ok = flat >= 0
     rows = flat // k
     dev = np.where(ok, rows // rows_per, 0)
     lflat = flat - dev * (np.int64(rows_per) * k)
-    me = np.full((ndev, cap), -1, np.int32)
+    me = np.full((ndev, cap), rows_per * k, np.int32)
     mc = np.zeros((ndev, cap), np.int32)
     for d in range(ndev):
         sel = ok & (dev == d)
@@ -580,7 +586,8 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
 
         Returns (mi, mb, mw, me, mc): interior/boundary value scatters for
         the encoder's LocalGraph, CSR window value scatter (non-ELL), and
-        ELL flat-position + cleared-entry scatters (ELL; -1 lanes dropped).
+        ELL flat-position + cleared-entry scatters (ELL; unused lanes
+        carry the positive-OOB sentinel and are dropped).
         """
         csr = ell_flat = ell_cleared = None
         if isinstance(aux, dict):
@@ -589,7 +596,10 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             ell_cleared = aux.get("ell_cleared")
         elif aux is not None:
             csr = aux
-        no_e = (jnp.asarray(np.full((ndev, 1), -1, np.int32)),
+        # positive-OOB sentinel (rows_per * k1): negative indices wrap before
+        # the drop check and would clobber each shard's last table entry
+        no_e = (jnp.asarray(np.full(
+                    (ndev, 1), rows_per * tr._sharded_ell_k1(), np.int32)),
                 jnp.asarray(np.zeros((ndev, 1), np.int32)))
         if csr is None:
             return (jnp.asarray(np.full((ndev, 1), pad_i, np.int32)),
@@ -653,7 +663,8 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             axis=axis)
         if use_ell:
             # scatter cleared (id-only) entries at the batch edges' frozen-
-            # window positions of the LOCAL table shard (-1 lanes dropped)
+            # window positions of the LOCAL table shard (positive-OOB
+            # sentinel lanes dropped)
             tbl1 = ell1[0]
             ek = tbl1.shape[-1]
             tbl1 = (tbl1.reshape(-1).at[me[0]].set(mc[0], mode="drop")

@@ -92,8 +92,9 @@ def mask_ell_flat_positions(
     ``mask_positions`` (2 CSR positions per edge: u->v then v->u, the
     edge2pos layout).  An edge direction falls inside row r's frozen window
     iff 0 <= csr_pos - indptr[r] - off[r] < k; directions outside the window
-    are not in the table and return position -1 (dropped by the device
-    scatter).  The cleared value is just the partner's node id (packed entry
+    are not in the table and return position -1 (remapped to a positive
+    out-of-bounds index by the consumers — apply_ell_mask / route_ell_mask —
+    because JAX wraps negative indices before mode="drop" OOB handling).  The cleared value is just the partner's node id (packed entry
     with zero value bits).
     """
     rows = np.stack([edges[0], edges[1]], axis=1).ravel()
@@ -107,8 +108,15 @@ def mask_ell_flat_positions(
 def apply_ell_mask(tbl: jax.Array, flat_positions: jax.Array,
                    cleared: jax.Array) -> jax.Array:
     """Scatter cleared (id-only) entries at the masked flat positions;
-    -1 positions are dropped.  Device-side, inside the train step."""
+    -1 positions are dropped.  Device-side, inside the train step.
+
+    JAX wraps NEGATIVE indices before the out-of-bounds check (only positive
+    OOB indices are dropped by mode="drop"), so -1 sentinels must be remapped
+    to the positive OOB value n*k here — otherwise every -1 lane silently
+    overwrites entry (n-1, k-1), deleting a real neighbor whenever row n-1
+    has degree >= k (round-3 advisor finding)."""
     n, k = tbl.shape
+    flat_positions = jnp.where(flat_positions < 0, n * k, flat_positions)
     return (
         tbl.reshape(-1)
         .at[flat_positions]

@@ -129,6 +129,7 @@ class Trainer:
             self.edge2pos = None
 
         self._deg_np = np.asarray(self.g.deg)
+        self._deg_np_by_graph = {id(self.g): self._deg_np}
         self._split = self._split_plan()
         # ELL window tables (sparse/ell.py): built lazily by the first
         # train_epoch and refreshed every cfg.ell_refresh epochs.  Train path
@@ -247,7 +248,12 @@ class Trainer:
             fneg = float(np.mean(deg <= (k_neg or cfg.k_small)))
         nsp = min(nchunk, int(fp * nchunk))
         nsn = min(nchunk, int(fneg * nchunk))
-        if cfg.graph_sharding == "node":
+        if cfg.graph_sharding == "node" and cfg.dp_devices * cfg.tp_devices > 1:
+            # gate on the same condition that creates self.mesh
+            # (_build_steps): with graph_sharding="node" but a 1-device
+            # config the REPLICATED path runs, and skipping the replicated
+            # branch below would leave frame_group unaligned and k_neg
+            # silently ignored (round-3 advisor finding)
             # round-robin chunk->device interleave (prepare_batch): each
             # device must hold exactly nsp/ndev small + nbp/ndev big chunks,
             # so round each side DOWN to a multiple of ndev (shrinking only
@@ -1148,6 +1154,15 @@ class Trainer:
             out.append(np.asarray(s[:c]))
         return np.concatenate(out) if out else np.zeros((0,))
 
+    def _graph_deg_np(self, g) -> np.ndarray:
+        """Host degree array of ``g`` (cached per graph object — g is either
+        self.g or self.full_g)."""
+        d = self._deg_np_by_graph.get(id(g))
+        if d is None:
+            d = np.asarray(g.deg)
+            self._deg_np_by_graph[id(g)] = d
+        return d
+
     def _score_split(self, state: TrainState, h, g, edges: np.ndarray,
                      adj2=None) -> np.ndarray:
         """Eval-mode PermIterator keeps the ragged tail (utils.py:20-30); the
@@ -1173,7 +1188,13 @@ class Trainer:
         # big body), inverse-permute the scores.  Pairing-free: eval consumes
         # scores only.
         edges = np.asarray(edges)
-        deg = self._deg_np[edges[:, 0]]
+        # degree of the graph actually being scored: evaluate() passes
+        # full_g (train+valid edges) for the test split under
+        # use_valedges_as_input, where a source whose degree crosses k_small
+        # once valid edges are added must NOT be routed to the small body —
+        # that would cap and reweight it at width k_small, contradicting the
+        # "only exact-fit edges go small" invariant (round-3 advisor finding)
+        deg = self._graph_deg_np(g)[edges[:, 0]]
         sp = np.argsort(deg, kind="stable")
         split_at = (int(np.sum(deg <= cfg.k_small)) // cfg.testbs) * cfg.testbs
         se = edges[sp]

@@ -174,3 +174,51 @@ def test_cn2_rec_k_width_invariance(ds):
     np.testing.assert_allclose(losses[40], losses[0], rtol=1e-6)
     # the binding cap is an estimator change, not an explosion
     assert abs(losses[8] - losses[0]) < 1.0
+
+
+def test_sentinel_scatter_is_identity():
+    """Round-3 advisor finding: JAX wraps negative indices BEFORE the
+    mode="drop" OOB check, so a -1 sentinel scatter would silently clobber
+    the table's last entry.  apply_ell_mask must be a bit-identical no-op
+    for an all-sentinel (-1) mask, and for the positive-OOB sentinel n*k."""
+    rng = np.random.default_rng(0)
+    tbl = jnp.asarray(rng.integers(1, 2**30, size=(7, 5), dtype=np.int64)
+                      .astype(np.int32))
+    for sentinel in (-1, 7 * 5):
+        flat = jnp.full((11,), sentinel, jnp.int32)
+        out = ELL.apply_ell_mask(tbl, flat, jnp.zeros((11,), jnp.int32))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(tbl))
+    # and a mixed mask only touches the requested position
+    flat = jnp.asarray(np.array([-1, 12, -1], np.int32))
+    out = ELL.apply_ell_mask(tbl, flat, jnp.zeros((3,), jnp.int32))
+    want = np.asarray(tbl).copy().reshape(-1)
+    want[12] = 0
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1), want)
+
+
+def test_route_ell_mask_sentinel_is_positive_oob():
+    """route_ell_mask's unused lanes must carry the positive-OOB sentinel
+    rows_per*k (NOT -1): a device scatter with an all-sentinel mask must
+    leave the local table shard bit-identical even when every row's degree
+    exceeds the table width."""
+    from ocn_tpu.parallel.sharded_graph import route_ell_mask
+
+    rows_per, k, ndev, cap = 6, 4, 2, 8
+    me, mc = route_ell_mask(
+        np.full((10,), -1, np.int64), np.zeros((10,), np.int32),
+        ndev, rows_per, k, cap)
+    assert (me == rows_per * k).all()
+    rng = np.random.default_rng(1)
+    shard = jnp.asarray(
+        rng.integers(1, 2**30, size=(rows_per, k), dtype=np.int64)
+        .astype(np.int32))
+    out = (shard.reshape(-1).at[jnp.asarray(me[0])]
+           .set(jnp.asarray(mc[0]), mode="drop").reshape(rows_per, k))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(shard))
+    # routing a REAL position still lands on the right device/lane
+    g = np.array([1 * k + 2, (rows_per + 3) * k + 1], np.int64)  # dev0, dev1
+    me, mc = route_ell_mask(g, np.array([7, 9], np.int32),
+                            ndev, rows_per, k, cap)
+    assert me[0][0] == 1 * k + 2 and mc[0][0] == 7
+    assert me[1][0] == 3 * k + 1 and mc[1][0] == 9
+    assert (me[0][1:] == rows_per * k).all()

@@ -291,3 +291,63 @@ def test_three_body_training_runs(group):
     res = tr.evaluate(state)
     for k, v in res.items():
         assert all(np.isfinite(x) for x in v)
+
+
+def test_dual_k_eval_uses_scored_graph_degree():
+    """Round-3 advisor finding: under use_valedges_as_input the test split is
+    scored against full_g (train+valid edges), where a source's degree can
+    cross k_small.  The dual-K eval router must use the degree of the graph
+    actually being scored — every edge routed to the small (k_small-width)
+    body must fit k_small exactly in THAT graph, or it would be silently
+    capped and deg/k-reweighted on the test metric."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    # build the use_valedges full graph the way loaddataset does (synthetic_
+    # dataset alone leaves full_edge_index unset)
+    from ocn_tpu.sparse import build as B
+
+    full = np.concatenate(
+        [np.asarray(ds.split_edge["train"]["edge"]),
+         np.asarray(ds.split_edge["valid"]["edge"])], axis=0).T
+    ds.full_edge_index = B.symmetrize_edge_index(full, ds.n_nodes)
+    k_small = 4
+    cfg = _cfg(k_small=k_small, pad_deg=64, pad_deg2=64, testbs=32,
+               dual_k_eval=True, use_valedges_as_input=True)
+    tr = Trainer(cfg, ds)
+    deg_train = tr._deg_np
+    deg_full = tr._graph_deg_np(tr.full_g)
+    edges = np.asarray(ds.split_edge["test"]["edge"])
+    # the scenario must be discriminating: some scored source fits k_small on
+    # the train graph but not on the full graph
+    crossers = (deg_train[edges[:, 0]] <= k_small) & \
+               (deg_full[edges[:, 0]] > k_small)
+    assert crossers.any(), "fixture lost its degree-crossing sources"
+
+    routed = []
+    orig = tr._score_batches
+
+    def spy(state, h, g, e, adj2=None, k=None, fold0=0):
+        routed.append((k, np.asarray(e)))
+        return orig(state, h, g, e, adj2, k=k, fold0=fold0)
+
+    tr._score_batches = spy
+    state = tr.init_state(0)
+    h = tr.encode(state.params, tr.full_g)
+    tr._score_split(state, h, tr.full_g, edges, tr.full_adj2)
+    small = [e for k, e in routed if k == k_small]
+    assert small, "dual-K eval did not engage"
+    for e in small:
+        assert (deg_full[e[:, 0]] <= k_small).all(), (
+            "small body received a source that outgrows k_small on full_g")
+
+
+def test_split_plan_node_sharding_dp1_falls_back_to_replicated():
+    """Round-3 advisor finding: with graph_sharding='node' but dp_devices=1
+    no mesh is built and the REPLICATED train path runs, so _split_plan must
+    produce the replicated plan (frame_group alignment, k_neg handling) —
+    not the node-sharded rounding."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    kw = dict(k_small=4, pad_deg=8, pad_deg2=8, frame_group=3, k_neg=2)
+    tr_node = Trainer(_cfg(graph_sharding="node", dp_devices=1, **kw), ds)
+    tr_repl = Trainer(_cfg(**kw), ds)
+    assert tr_node.mesh is None
+    assert tr_node._split == tr_repl._split
