@@ -223,9 +223,11 @@ class Trainer:
             cfg.k_small <= 0
             or cfg.k_small >= cfg.pad_deg
             or not self.frame_based
-            or cfg.predictor in THREE_HOP
             or cfg.hoist_frames
         ):
+            # THREE_HOP (cn6) joined the split in round 4 (VERDICT r3 item
+            # 2): cn3_frame shares the src candidate frame, so the small
+            # body just carries the third value plane at width k_small
             return None
         c = self._chunk()
         nchunk = cfg.batch_size // c
@@ -1177,7 +1179,7 @@ class Trainer:
         n = edges.shape[0]
         use_dual = (
             cfg.dual_k_eval and 0 < cfg.k_small < cfg.pad_deg
-            and self.frame_based and cfg.predictor not in THREE_HOP
+            and self.frame_based
             and n > cfg.testbs
         )
         if not use_dual:

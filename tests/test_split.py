@@ -351,3 +351,50 @@ def test_split_plan_node_sharding_dp1_falls_back_to_replicated():
     tr_repl = Trainer(_cfg(**kw), ds)
     assert tr_node.mesh is None
     assert tr_node._split == tr_repl._split
+
+
+def test_cn6_split_mixed_bodies_match_uncapped_oracle():
+    """Round 4 (VERDICT r3 item 2): the dual-K split covers THREE_HOP/cn6.
+    Same exactness contract as the cn5 mixed-bodies test — widths above
+    every degree make the split a pure padding change, so the loss matches
+    the unsplit trainer bit-for-bit (the cn3 plane rides the shared src
+    candidate frame at the body's width)."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    nodrop = dict(
+        predictor="cn6", gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0,
+        preedp=0.0, batch_size=256, testbs=256, linkbatchsize=64,
+        pad_deg2=160, adj3_cap=512, losstrick="simple",
+    )
+    tr_a = Trainer(
+        _cfg(k_small=40, pad_deg=64, small_frac=0.5, small_frac_neg=0.0,
+             **nodrop), ds)
+    tr_b = Trainer(_cfg(pad_deg=64, **nodrop), ds)
+    assert tr_a._split == (2, 0)
+    assert tr_b._split is None
+
+    rng = np.random.default_rng(3)
+    pos_b, neg_b, idx = _batch(tr_a, ds, rng)
+    pe, ne, mp, inv_p, inv_n = tr_a.prepare_batch(pos_b, neg_b, idx)
+    key = jax.random.PRNGKey(11)
+    _, loss_a = tr_a.train_step(
+        tr_a.init_state(0), pe, ne, mp, key, inv_p, inv_n)
+    _, loss_b = tr_b.train_step(tr_b.init_state(0), pe, ne, mp, key)
+    np.testing.assert_allclose(
+        np.asarray(loss_a), np.asarray(loss_b), rtol=1e-5)
+
+
+def test_cn6_dual_k_eval_runs():
+    """cn6 eval rides the dual-K eval split too; metrics stay finite and
+    close to the single-width path."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    kw = dict(predictor="cn6", k_small=4, pad_deg=8, pad_deg2=8, testbs=64,
+              adj3_cap=256)
+    tr_on = Trainer(_cfg(dual_k_eval=True, **kw), ds)
+    tr_off = Trainer(_cfg(dual_k_eval=False, **kw), ds)
+    state = tr_on.init_state(0)
+    r_on = tr_on.evaluate(state)
+    r_off = tr_off.evaluate(state)
+    for k in r_on:
+        assert all(np.isfinite(v) for v in r_on[k])
+        np.testing.assert_allclose(r_on[k], r_off[k], atol=0.12,
+                                   err_msg=f"{k}: {r_on[k]} vs {r_off[k]}")
