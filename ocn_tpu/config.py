@@ -176,6 +176,17 @@ class Config:
                                      # tables (uncapped rows bit-identical;
                                      # capped rows use the frozen window —
                                      # measured +42% eval throughput)
+    lane_dropadj: bool = True        # incomplete-CN family (cn2/cn3/cn4):
+                                     # apply preedp/DropAdj as Bernoulli LANE
+                                     # masks on the gathered windows instead
+                                     # of mutating adjacency values — value
+                                     # mutation detaches the packed/ELL
+                                     # gather layout every preedp>0 chunk
+                                     # and costs the family its ~5.7x fast
+                                     # path (BENCH_NOTES r3).  Same marginal
+                                     # estimator (unbiased in the values);
+                                     # correlation-only deviation, PARITY.md.
+                                     # False = reference value-mutation path.
     rec_k: int = 0                   # incomplete-CN family (cn2/cn3/cn4):
                                      # frame width for the RECURSIVE scorer
                                      # (the depth-1 stop-gradient re-scoring
@@ -239,6 +250,7 @@ class Config:
             depth=self.depth, sum=self.sum, polyfirst=self.polyfirst,
             polysecond=self.polysecond, k=self.pad_deg, rec_k=self.rec_k,
             recursion_train_mode=self.recursion_train_mode,
+            lane_dropadj=self.lane_dropadj,
         )
 
 
@@ -381,7 +393,8 @@ _TPU_OVERLAY_FIELDS = frozenset({
     "pad_deg", "pad_deg2", "pad_deg2_dst", "count2_chunk", "two_hop_mode",
     "hoist_frames", "frame_group", "adj2_cap", "adj3_cap", "window_table",
     "reorder", "k_small", "small_frac", "small_frac_neg", "k_neg",
-    "ell_tables", "ell_refresh", "ell_eval", "rec_k", "dual_k_eval",
+    "ell_tables", "ell_refresh", "ell_eval", "rec_k", "lane_dropadj",
+    "dual_k_eval",
     "eval_sampling", "sort_batch", "dtype", "graph_sharding", "dp_devices",
     "tp_devices",
 })

@@ -91,6 +91,7 @@ def build_predictor(name: str, hidden: int, n_nodes: int, **kw: Any):
             k=kw.get("k", 32),
             rec_k=kw.get("rec_k", 0),
             recursion_train_mode=kw.get("recursion_train_mode", True),
+            lane_drop=kw.get("lane_dropadj", True),
             **common,
         )
     if name == "cn6":

@@ -87,6 +87,15 @@ class IncompleteCNPredictor(nn.Module):
     # steps on each recursive call).  True reproduces that; False scores the
     # recursion deterministically (eval-mode semantics).
     recursion_train_mode: bool = True
+    # DropAdj implementation (VERDICT r3 item 6): True applies edrop as
+    # Bernoulli LANE masks on the gathered windows (ops/frame.py
+    # gather_neighbors drop=), which keeps the packed/ELL gather layout
+    # attached — with value-mutation DropAdj (Graph.drop_edges) every
+    # preedp>0 chunk detaches the ELL tables and the family falls off the
+    # row-gather fast path (~5.7x, BENCH_NOTES r3).  Same marginal
+    # estimator; correlation-only deviation documented in PARITY.md.  False
+    # (or an unpacked graph) restores the value-mutation path.
+    lane_drop: bool = True
 
     def setup(self):
         self.beta = self.param(
@@ -131,8 +140,13 @@ class IncompleteCNPredictor(nn.Module):
         # recursive calls (depth < self.depth) may run at a narrower frame
         k_frame = self.k if depth == self.depth else (self.rec_k or self.k)
 
+        drop = None
         if training and self.edrop > 1e-6:
-            g = g.drop_edges(self.make_rng("dropout"), self.edrop)
+            dk = self.make_rng("dropout")
+            if self.lane_drop and g.packed is not None:
+                drop = (dk, self.edrop)
+            else:
+                g = g.drop_edges(dk, self.edrop)
         sample_key = (
             self.make_rng("sample") if training and self.has_rng("sample") else None
         )
@@ -143,7 +157,7 @@ class IncompleteCNPredictor(nn.Module):
 
         resdeg = self.trainresdeg if training else self.testresdeg
         kk = jax.random.split(sample_key, 4) if sample_key is not None else [None] * 4
-        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0])
+        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0], drop=drop)
         if self.cndeg > 0:
             cn = sample_frame(cn, self.cndeg, kk[1])
         xcn = cn.matmul(x_aug)
@@ -252,8 +266,13 @@ class IncompleteCNPredictor(nn.Module):
         det = not training
         k_frame = self.k if depth == self.depth else (self.rec_k or self.k)
 
+        drop = None
         if training and self.edrop > 1e-6:
-            g = g.drop_edges(self.make_rng("dropout"), self.edrop)
+            dk = self.make_rng("dropout")
+            if self.lane_drop and g.packed is not None:
+                drop = (dk, self.edrop)
+            else:
+                g = g.drop_edges(dk, self.edrop)
         sample_key = (
             self.make_rng("sample") if training and self.has_rng("sample") else None
         )
@@ -265,9 +284,13 @@ class IncompleteCNPredictor(nn.Module):
         resdeg = self.trainresdeg if training else self.testresdeg
 
         # 1-hop CN + residuals (src/dst frames)
-        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0])
-        # 2-hop: candidates vs the A^2 row of j
-        src = gather_neighbors(g, tar_ei[0], k_frame, kk[1])
+        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0], drop=drop)
+        # 2-hop: candidates vs the A^2 row of j (adj2 takes no DropAdj, like
+        # the value-mutation path which only drops g)
+        src = gather_neighbors(
+            g, tar_ei[0], k_frame, kk[1],
+            drop=None if drop is None else
+            (jax.random.fold_in(drop[0], 2), drop[1]))
         a2row = gather_neighbors(adj2, tar_ei[1], k_frame, kk[2])
         in_a2 = _rowwise_membership(src.ids, a2row.ids, a2row.w)
         in_src = _rowwise_membership(a2row.ids, src.ids, src.w)

@@ -87,6 +87,7 @@ def gather_neighbors(
     k: int,
     key: Optional[jax.Array] = None,
     sampling: str = "window",
+    drop: Optional[Tuple[jax.Array, float]] = None,
 ) -> NeighborFrame:
     """Gather the (<=k)-padded neighbor list of each node in ``nodes``.
 
@@ -110,7 +111,22 @@ def gather_neighbors(
     Adjacency values at the gathered positions multiply the weights, so
     entries masked to 0 (maskinput / DropAdj) drop out by value.  Lanes with
     w == 0 may carry arbitrary ids; all consumers are value-masked.
+
+    ``drop=(key, p)``: lane-mask DropAdj — Bernoulli-keep each gathered lane
+    with prob 1-p and rescale kept weights by 1/(1-p), WITHOUT mutating the
+    graph's value array (which would detach the packed/ELL gather layouts,
+    train/loop.py _use_ell).  Same marginal estimator as Graph.drop_edges
+    (each adjacency-entry occurrence kept w.p. 1-p, unbiased in the values);
+    the deviation is correlation-only: a row gathered twice in one call
+    re-draws its lane masks, where the reference's per-call nnz mask is
+    shared (PARITY.md §known deviations).
     """
+    if drop is not None:
+        frame = gather_neighbors(g, nodes, k, key, sampling)
+        dkey, p = drop
+        keep = jax.random.bernoulli(dkey, 1.0 - p, frame.w.shape)
+        return dataclasses.replace(
+            frame, w=jnp.where(keep, frame.w * (1.0 / (1.0 - p)), 0.0))
     nodes = nodes.astype(jnp.int32)
     deg = g.deg[nodes]  # (B,)
     start = g.indptr[nodes]  # (B,)
@@ -973,6 +989,7 @@ def cn_residual_frames(
     tar_ei: jax.Array,
     k: int,
     key: Optional[jax.Array] = None,
+    drop: Optional[Tuple[jax.Array, float]] = None,
 ) -> Tuple[CNFrame, CNFrame, CNFrame]:
     """CN set plus both residual sets for the incomplete-CN predictors.
 
@@ -985,8 +1002,14 @@ def cn_residual_frames(
     matrices, which the incomplete predictors' union/Hadamard steps rely on.
     """
     keys = jax.random.split(key, 2) if key is not None else (None, None)
-    src = gather_neighbors(g, tar_ei[0], k, keys[0])
-    dst = gather_neighbors(g, tar_ei[1], k, keys[1])
+    # lane-mask DropAdj (see gather_neighbors): each direction of the
+    # symmetric adjacency is a distinct nnz in the reference's DropAdj too,
+    # so src and dst draw independent masks
+    drops = ((None, None) if drop is None else
+             ((jax.random.fold_in(drop[0], 0), drop[1]),
+              (jax.random.fold_in(drop[0], 1), drop[1])))
+    src = gather_neighbors(g, tar_ei[0], k, keys[0], drop=drops[0])
+    dst = gather_neighbors(g, tar_ei[1], k, keys[1], drop=drops[1])
     in_dst = _rowwise_membership(src.ids, dst.ids, dst.w)
     in_src = _rowwise_membership(dst.ids, src.ids, src.w)
     cn = CNFrame(src.ids, jnp.where(in_dst != 0, src.w, 0.0), g.n_nodes)

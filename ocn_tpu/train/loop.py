@@ -141,9 +141,11 @@ class Trainer:
         # frame-based predictors need both tables; the self-building family
         # (cn2/cn3/cn4) gathers from g internally — round 3 attaches the g
         # table (+ A^2 table for cn3) there too, so the recursion's huge
-        # (B*resdeg, K) window gathers ride the row-gather layout.  With
-        # preedp > 0 the family's DropAdj mutates values and detaches the
-        # table per chunk (Graph.drop_edges) — correct, just not accelerated.
+        # (B*resdeg, K) window gathers ride the row-gather layout.  Since
+        # round 4, preedp > 0 keeps the table attached by default: DropAdj
+        # runs as lane masks on the gathered windows (Config.lane_dropadj;
+        # with lane_dropadj=False the value mutation detaches the table per
+        # chunk — correct, just not accelerated).
         self._use_ell = bool(
             cfg.ell_tables
             and self.g.packed is not None
