@@ -404,13 +404,15 @@ _TPU_OVERLAYS = {
     ("collab", "cn5"): dict(k_small=16),
     ("collab", "cn7"): dict(k_small=16),
     ("collab", "plnlp"): dict(k_small=16),
-    # ppa memory plan for N=576k / E~60M directed (VERDICT r2 item 2): the
-    # A^2 window table is the largest per-graph array — cap 1024 on a
-    # degree-100 graph costs ~2.4 GB packed and starves the blocked SpMM;
-    # cap 256 fits (sensitivity rows: results/parity_ppa_deg100.jsonl,
-    # BASELINE.md; de-risking it is VERDICT r3 item 4).
-    ("ppa", "cn5"): dict(k_small=16, adj2_cap=256),
-    ("ppa", "cn7"): dict(k_small=16, adj2_cap=256),
+    # ppa memory plan for N=576k / E~60M directed: round 4's GATHER-ONLY A^2
+    # layout (graph_from_numpy(gather_only=True): indptr/deg/packed only,
+    # 4 B/entry instead of 16-20) fits cap 1024 single-chip — ~2.4 GB versus
+    # the ~9.5 GB full layout that forced cap 256 in round 3 (whose measured
+    # accuracy risk — ~1 sigma val Hits + 1/3 diverged seeds on the deg-100
+    # proxy, results/parity_ppa_deg100.jsonl — this closes; VERDICT r3
+    # item 4).
+    ("ppa", "cn5"): dict(k_small=16, adj2_cap=1024),
+    ("ppa", "cn7"): dict(k_small=16, adj2_cap=1024),
     # citation2 memory plan: N=2.9M makes the A^2 table dominant (cap 128
     # ~1.5 GB packed; cap 1024 would be 12 GB)
     ("citation2", "cn5"): dict(adj2_cap=128),

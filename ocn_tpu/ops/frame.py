@@ -152,7 +152,7 @@ def gather_neighbors(
         w = jnp.where(valid, w_row[:, None] * vals, 0.0)
         ids = jnp.where(valid, ids, g.n_nodes)
         pos0 = jnp.minimum(
-            start + g.ell_off[nodes], jnp.maximum(g.col.shape[0] - k, 0))
+            start + g.ell_off[nodes], jnp.maximum(g.nnz - k, 0))
         return NeighborFrame(ids=ids, w=w, n_nodes=g.n_nodes,
                              pos=pos0[:, None] + lane)
 
@@ -164,7 +164,7 @@ def gather_neighbors(
             )
         else:
             woff = jnp.zeros_like(deg)
-        pos0 = jnp.minimum(start + woff, jnp.maximum(g.col.shape[0] - k, 0))
+        pos0 = jnp.minimum(start + woff, jnp.maximum(g.nnz - k, 0))
         pos = pos0[:, None] + lane
         # window reads lower as a slice-gather (vmapped dynamic_slice -> one
         # gather issue of k contiguous elements per row) instead of the flat
@@ -190,9 +190,14 @@ def gather_neighbors(
     u = jax.random.uniform(key, (b, k))
     samp_off = jnp.minimum((u * deg[:, None]).astype(jnp.int32), deg[:, None] - 1)
     off = jnp.where(capped[:, None], samp_off, exact_off)
-    pos = jnp.minimum(start[:, None] + off, g.col.shape[0] - 1)
-    ids = g.col[pos]
-    vals = g.val[pos]
+    pos = jnp.minimum(start[:, None] + off, g.nnz - 1)
+    if g.packed is not None:
+        pk = g.packed[pos]
+        ids = jnp.bitwise_and(pk, (1 << g.col_bits) - 1)
+        vals = jnp.right_shift(pk, g.col_bits).astype(jnp.float32)
+    else:
+        ids = g.col[pos]
+        vals = g.val[pos]
     w = jnp.where(valid, w_row[:, None] * vals, 0.0)
     ids = jnp.where(valid & (vals != 0), ids, g.n_nodes)
     # keep ids sorted for the searchsorted membership fallback

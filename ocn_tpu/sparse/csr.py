@@ -47,12 +47,19 @@ class Graph:
              independent of val masking; matches reference rowcount(),
              utils.py:44).
     n_nodes : static int.
+
+    GATHER-ONLY graphs (round 4, the A^2/A^3 memory plan): when a graph is
+    only ever consumed through packed window gathers (the precomputed A^2 /
+    A^3 row tables — never SpMM'd, masked, or value-mutated), col/row/val/
+    tpos may be None and only indptr/deg/packed ride on device: 4 bytes per
+    entry instead of 16-20, which is what lets the ppa preset afford
+    adj2_cap=1024 single-chip (graph_from_numpy(gather_only=True)).
     """
 
     indptr: jax.Array
-    col: jax.Array
-    row: jax.Array
-    val: jax.Array
+    col: Optional[jax.Array]
+    row: Optional[jax.Array]
+    val: Optional[jax.Array]
     deg: jax.Array
     n_nodes: int
     # transpose permutation: tpos[p] = nnz position of entry (col[p], row[p]).
@@ -99,7 +106,9 @@ class Graph:
     # -- basic properties ----------------------------------------------------
     @property
     def nnz(self) -> int:
-        return self.col.shape[0]
+        # gather-only graphs carry packed instead of col (same padded length)
+        arr = self.col if self.col is not None else self.packed
+        return arr.shape[0]
 
     def with_values(self, val: jax.Array) -> "Graph":
         # value mutation invalidates the packed col|val array and any ELL
@@ -169,30 +178,26 @@ def graph_from_numpy(
     col: np.ndarray,
     n_nodes: int,
     val: Optional[np.ndarray] = None,
+    gather_only: bool = False,
 ) -> Graph:
-    """Lift host CSR arrays (see build.py) onto the default device."""
+    """Lift host CSR arrays (see build.py) onto the default device.
+
+    ``gather_only=True`` (A^2/A^3 memory plan): when the values pack into the
+    col|val int32 layout, upload ONLY indptr/deg/packed — 4 bytes per entry
+    instead of 16-20 — and leave col/row/val/tpos as None.  Valid for graphs
+    consumed exclusively through window gathers (gather_neighbors reads the
+    packed plane; no SpMM, no value mutation).  Falls back to the full upload
+    when the values do not pack (correctness over memory).
+    """
     indptr = np.asarray(indptr, np.int32)
     col = np.asarray(col, np.int32)
     deg = (indptr[1:] - indptr[:-1]).astype(np.int32)
-    row = np.repeat(np.arange(n_nodes, dtype=np.int32), deg)
     if val is None:
         val = np.ones_like(col, np.float32)
     nnz = col.shape[0]
-    # transpose permutation (valid when the PATTERN is symmetric, which holds
-    # for every graph this framework builds): the inverse of the CSC ordering
-    csc = np.lexsort((row, col))
-    tpos = np.empty(nnz, np.int32)
-    tpos[csc] = np.arange(nnz, dtype=np.int32)
-    pattern_symmetric = bool(
-        np.array_equal(row[csc], col) and np.array_equal(col[csc], row)
-    )
     pad = GATHER_PAD
     col = np.concatenate([col, np.zeros(pad, np.int32)])
-    # pad rows with the LAST row id so `row` stays sorted (the zero-valued
-    # pad entries then feed sorted segment-sums harmlessly)
-    row = np.concatenate([row, np.full(pad, max(n_nodes - 1, 0), np.int32)])
     val = np.concatenate([np.asarray(val, np.float32), np.zeros(pad, np.float32)])
-    tpos = np.concatenate([tpos, np.arange(nnz, nnz + pad, dtype=np.int32)])
     # pack col|val into one int32 when values are small non-negative integers
     # (A^2/A^3 path counts, unit adjacency): halves neighbor-gather traffic.
     # Consumers that mutate values get `packed` dropped via with_values.
@@ -205,6 +210,29 @@ def graph_from_numpy(
             packed = (col.astype(np.int64) | (vi << col_bits)).astype(np.int32)
         else:
             col_bits = 0
+    if gather_only and packed is not None:
+        return Graph(
+            indptr=jnp.asarray(indptr),
+            col=None, row=None, val=None,
+            deg=jnp.asarray(deg),
+            n_nodes=int(n_nodes),
+            tpos=None,
+            packed=jnp.asarray(packed),
+            col_bits=col_bits,
+        )
+    row = np.repeat(np.arange(n_nodes, dtype=np.int32), deg)
+    # transpose permutation (valid when the PATTERN is symmetric, which holds
+    # for every graph this framework builds): the inverse of the CSC ordering
+    csc = np.lexsort((row, col[:nnz]))
+    tpos = np.empty(nnz, np.int32)
+    tpos[csc] = np.arange(nnz, dtype=np.int32)
+    pattern_symmetric = bool(
+        np.array_equal(row[csc], col[:nnz]) and np.array_equal(col[:nnz][csc], row)
+    )
+    # pad rows with the LAST row id so `row` stays sorted (the zero-valued
+    # pad entries then feed sorted segment-sums harmlessly)
+    row = np.concatenate([row, np.full(pad, max(n_nodes - 1, 0), np.int32)])
+    tpos = np.concatenate([tpos, np.arange(nnz, nnz + pad, dtype=np.int32)])
     return Graph(
         indptr=jnp.asarray(indptr),
         col=jnp.asarray(col),

@@ -331,19 +331,33 @@ class Trainer:
         ip = np.asarray(g.indptr)
         col = np.asarray(g.col)[: int(ip[-1])]
         ip2, col2, val2 = B.adj2_csr(ip, col, g.n_nodes, cap=self.cfg.adj2_cap)
-        return graph_from_numpy(ip2, col2, g.n_nodes, val2)
+        # keep the host CSR for cn6's A^3 SpGEMM (the device graph below may
+        # be gather-only, without col/val arrays)
+        if self.cfg.predictor in THREE_HOP and g is self.g:
+            self._adj2_host = (ip2, col2, val2)
+        # A^2 is consumed exclusively through packed window gathers, so
+        # upload only indptr/deg/packed — 4 B/entry instead of 16-20, the
+        # memory plan that affords adj2_cap=1024 on ppa single-chip (VERDICT
+        # r3 item 4).  The node-sharded path slices col/val host-side when
+        # partitioning, so it keeps the full layout (its per-device shards
+        # already divide the table).
+        gather_only = self.cfg.graph_sharding != "node"
+        return graph_from_numpy(ip2, col2, g.n_nodes, val2,
+                                gather_only=gather_only)
 
     def _build_adj3(self, g: Graph, adj2: Graph) -> Graph:
         from ocn_tpu.sparse.csr import graph_from_numpy
 
         ip = np.asarray(g.indptr)
         col = np.asarray(g.col)[: int(ip[-1])]
-        ip2 = np.asarray(adj2.indptr)
-        col2 = np.asarray(adj2.col)[: int(ip2[-1])]
-        val2 = np.asarray(adj2.val)[: int(ip2[-1])]
+        ip2, col2, val2 = self._adj2_host
+        del self._adj2_host  # free ~8 B/entry of host RAM
         ip3, col3, val3 = B.spgemm_csr(
-            ip2, col2, val2, ip, col, None, g.n_nodes, cap=self.cfg.adj3_cap)
-        return graph_from_numpy(ip3, col3, g.n_nodes, val3)
+            ip2, col2[: int(ip2[-1])], val2[: int(ip2[-1])], ip, col, None,
+            g.n_nodes, cap=self.cfg.adj3_cap)
+        return graph_from_numpy(
+            ip3, col3, g.n_nodes, val3,
+            gather_only=self.cfg.graph_sharding != "node")
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> TrainState:

@@ -97,3 +97,38 @@ def test_cn3_gather_matches_sddmm(rng):
         np.testing.assert_allclose(
             frame_to_dense(c_gather), frame_to_dense(c_sddmm),
             err_msg=f"counts={counts}")
+
+
+def test_gather_only_graph_bit_identical(rng):
+    """Round 4 (VERDICT r3 item 4, ppa adj2_cap memory plan): a gather-only
+    A^2 graph (indptr/deg/packed only — 4 B/entry) must produce bit-identical
+    CN frames to the full-layout graph, across window/iid sampling and the
+    dual-K sub-width read."""
+    from ocn_tpu.ops.frame import gather_neighbors
+    from ocn_tpu.sparse.csr import graph_from_numpy
+
+    g, dense = random_graph(rng)
+    ip = np.asarray(g.indptr)
+    col = np.asarray(g.col)[: int(ip[-1])]
+    ip2, col2, val2 = B.adj2_csr(ip, col, g.n_nodes, 0)
+    full = graph_from_numpy(ip2, col2, g.n_nodes, val2)
+    lean = graph_from_numpy(ip2, col2, g.n_nodes, val2, gather_only=True)
+    assert lean.col is None and lean.val is None and lean.row is None
+    assert lean.packed is not None
+    import jax
+
+    nodes = jnp.asarray(rng.integers(0, g.n_nodes, size=32))
+    for kw in (dict(k=8), dict(k=4), dict(k=8, key=jax.random.PRNGKey(0)),
+               dict(k=8, key=jax.random.PRNGKey(0), sampling="iid")):
+        a = gather_neighbors(full, nodes, **kw)
+        b = gather_neighbors(lean, nodes, **kw)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_array_equal(np.asarray(a.w), np.asarray(b.w))
+    edges = jnp.asarray(rng.integers(0, g.n_nodes, size=(2, 15)))
+    for counts in (False, True):
+        _, c_full = cn_frames(g, edges, k=g.n_nodes, cn2_counts=counts,
+                              adj2=full)
+        _, c_lean = cn_frames(g, edges, k=g.n_nodes, cn2_counts=counts,
+                              adj2=lean)
+        np.testing.assert_allclose(
+            frame_to_dense(c_lean), frame_to_dense(c_full))
