@@ -127,9 +127,10 @@ def measure(defaults: bool = False):
                      gnndp=0.1, xdp=0.1, tdp=0.1, gnnedp=0.1, predp=0.1,
                      preedp=0.0)
     # memory plan: citation2's N=2.9M makes the A^2 table the dominant array
-    # (cap 128 ~ 1.5 GB packed; cap 1024 would be 12 GB); ppa's memory plan
-    # (deg ~100) pins cap 256 (config.py preset note)
-    adj2cap_default = {"citation2": "128", "ppa": "256"}.get(dataset, "1024")
+    # (cap 128 ~ 1.5 GB packed at the round-4 GATHER-ONLY 4 B/entry layout);
+    # ppa affords cap 1024 since round 4 (gather-only A^2 — config.py preset
+    # note; round 3 was forced to 256 by the 16-20 B/entry full layout)
+    adj2cap_default = {"citation2": "128", "ppa": "1024"}.get(dataset, "1024")
     base = dict(
         dataset=dataset, predictor=predictor, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,

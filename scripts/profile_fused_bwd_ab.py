@@ -40,14 +40,14 @@ def chained_timeit(f, args, n=20):
             leaf.ravel()[0].astype(jnp.float32).astype(jnp.int32),
             jnp.int32(4))
 
-    def body(s, _):
-        return chk(f(s, *args)), 0
-
-    run = jax.jit(lambda s0: jax.lax.scan(body, s0, None, length=n)[0])
-    s = run(jnp.zeros((), jnp.int32))
+    # big arrays ride as jit ARGUMENTS, never closure constants (closure
+    # constants are serialized into the remote-compile upload — HTTP 413)
+    run = jax.jit(lambda s0, *a: jax.lax.scan(
+        lambda s, _: (chk(f(s, *a)), 0), s0, None, length=n)[0])
+    s = run(jnp.zeros((), jnp.int32), *args)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(jnp.zeros((), jnp.int32)))
+    jax.block_until_ready(run(jnp.zeros((), jnp.int32), *args))
     return (time.perf_counter() - t0) / n * 1e3
 
 
