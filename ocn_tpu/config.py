@@ -413,11 +413,13 @@ _TPU_OVERLAYS = {
     # item 4).
     ("ppa", "cn5"): dict(k_small=16, adj2_cap=1024),
     ("ppa", "cn7"): dict(k_small=16, adj2_cap=1024),
-    # citation2 memory plan: N=2.9M makes the A^2 table dominant (cap 128
-    # ~1.5 GB packed; cap 1024 would be 12 GB)
-    ("citation2", "cn5"): dict(adj2_cap=128),
-    ("citation2", "cn7"): dict(adj2_cap=128),
-    ("citation2", "spd"): dict(adj2_cap=128, two_hop_mode="sddmm"),
+    # citation2 memory plan: N=2.9M makes the A^2 table dominant.  At the
+    # round-4 gather-only layout cap 256 is ~3 GB and measured
+    # throughput-identical to cap 128 at full scale (20.5k edges/s both,
+    # BENCH_NOTES r4 queue 3), so the preset takes the accuracy headroom.
+    ("citation2", "cn5"): dict(adj2_cap=256),
+    ("citation2", "cn7"): dict(adj2_cap=256),
+    ("citation2", "spd"): dict(adj2_cap=256, two_hop_mode="sddmm"),
 }
 
 

@@ -99,6 +99,15 @@ def variant_overrides(name: str, max_deg: int) -> dict:
                      adj2_cap=1024, rec_k=8, ell_tables=False),
         "rec16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                       adj2_cap=1024, rec_k=16, ell_tables=False),
+        # cn3 convergence A/B arms (round 4): full-width vs rec_k=16
+        # recursion at a CPU-affordable eval residual width — tstdeg=32 is
+        # SHARED by both arms so the A/B still isolates rec_k (the default
+        # tstdeg=128 eval makes a 30-epoch cn3 run take ~75 min on 2 cores)
+        "capped_t32": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                           adj2_cap=1024, tstdeg=32, ell_tables=False),
+        "rec16_t32": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                          adj2_cap=1024, rec_k=16, tstdeg=32,
+                          ell_tables=False),
         # A^2 row-cap sensitivity on a degree-100 graph (the ppa preset's
         # memory plan pins adj2_cap=256; these rows measure what cap 256
         # costs vs 1024 where the cap actually binds — avg A^2 row ~10^4)
