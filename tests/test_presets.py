@@ -218,3 +218,42 @@ def test_tpu_overlay_strippable(key):
 
 def test_all_fourteen_commands_have_presets():
     assert set(COMMANDS) <= set(C._README_PRESETS)
+
+
+@pytest.mark.parametrize("key", sorted(set(C._README_PRESETS)), ids="-".join)
+def test_preset_constructs_and_steps(key):
+    """Every preset (14 README commands + 2 driver aliases) must construct a
+    Trainer on its stand-in graph and take one finite training step at tiny
+    scale — integration smoke over the full flag surface (learnpt,
+    twolayerlin, puremean/gin encoders, ho stack, randint negatives, SPD)."""
+    import jax
+    import numpy as np
+
+    from ocn_tpu.data.loaders import loaddataset
+    from ocn_tpu.sparse import build as B
+    from ocn_tpu.train.loop import Trainer
+
+    dataset, predictor = key
+    # one explicit step, not train_epoch: the large stand-ins have 10^5+
+    # train edges per epoch and the smoke only needs construction + a
+    # compiled step (the full matrix at train_epoch granularity measured
+    # 56 min on this 2-core host)
+    scale = {"citation2": 0.004, "ppa": 0.01, "collab": 0.02,
+             "Pubmed": 0.05}.get(dataset, 0.1)
+    cfg = presets(dataset, predictor,
+                  batch_size=128, testbs=128, linkbatchsize=64,
+                  epochs=1, runs=1, pad_deg=16, pad_deg2=16, adj2_cap=64,
+                  adj3_cap=64, synthetic_scale=scale, platform="cpu")
+    ds = loaddataset(dataset, use_valedges_as_input=cfg.use_valedges_as_input,
+                     synthetic_scale=cfg.synthetic_scale, seed=0)
+    tr = Trainer(cfg, ds)
+    state = tr.init_state(0)
+    rng = np.random.default_rng(0)
+    pos = np.asarray(ds.split_edge["train"]["edge"]).T
+    neg = B.negative_sampling(ds.edge_index, ds.n_nodes, pos.shape[1], rng)
+    idx = rng.permutation(pos.shape[1])[: cfg.batch_size]
+    pe, ne, mp, inv_p, inv_n = tr.prepare_batch(
+        pos[:, idx], neg[:, idx], idx)
+    state, loss = tr.train_step(
+        state, pe, ne, mp, jax.random.PRNGKey(0), inv_p, inv_n)
+    assert np.isfinite(np.asarray(loss)), key
