@@ -329,8 +329,16 @@ def partition_windows(
     """
     ip = np.asarray(g.indptr, np.int64)
     true_nnz = int(ip[-1])
-    col = np.asarray(g.col)[:true_nnz]
-    val = np.asarray(g.val)[:true_nnz]
+    if g.col is not None:
+        col = np.asarray(g.col)[:true_nnz]
+        val = np.asarray(g.val)[:true_nnz]
+    else:
+        # gather-only graph (round-4 A^2/A^3 layout: packed col|val only) —
+        # unpack host-side; values are small non-negative ints by the
+        # packing contract (csr.py)
+        pk = np.asarray(g.packed)[:true_nnz].astype(np.int64)
+        col = (pk & ((1 << g.col_bits) - 1)).astype(np.int32)
+        val = (pk >> g.col_bits).astype(np.float32)
     n = g.n_nodes
     rows_per = -(-n // ndev)
     ips, cols, vals, degs, offs = [], [], [], [], []
