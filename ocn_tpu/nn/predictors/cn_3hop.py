@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from ocn_tpu.nn.mlp import CNAggMLP, HeadMLP, XijMLP
 from ocn_tpu.ops.frame import CNFrame
-from ocn_tpu.ops.ortho import colnorm_plain, colnorm_quirk
 from ocn_tpu.sparse.csr import Graph
 
 
@@ -58,34 +57,14 @@ class OCN3HopPredictor(nn.Module):
         ema = self.variable("ema", "innerprod", lambda: jnp.zeros(()))
         nvar = self.variable("ema", "n", lambda: jnp.zeros((), jnp.int32))
 
-        ema_v, n_v = ema.value, nvar.value
-
-        def ema_step(batch_inner):
-            nonlocal ema_v, n_v
-            if training:
-                n_v = n_v + 1
-                b = 1.0 / n_v.astype(jnp.float32)
-                ema_v = (1.0 - b) * ema_v + b * batch_inner
-            return ema_v
-
         from ocn_tpu.ops.frame import frame_index, matmul_shared
+        from ocn_tpu.ops.ortho import orthogonalize3
 
         fidx = frame_index(cn1.ids, g.n_nodes)  # shared: all frames use src ids
-        ncn1 = colnorm_quirk(cn1, 0.0, fidx)
-        scale = jnp.max(jnp.abs(ncn1.val))
-
-        inner0 = ema_step(cn2.inner(ncn1))
-        nip0 = jnp.where(scale > 0, inner0 / scale, inner0)
-        ocn2 = colnorm_plain(cn2.with_values(
-            jnp.where(cn2.mask | ncn1.mask, cn2.val - nip0 * ncn1.val, 0.0)), fidx)
-
-        inner1 = ema_step(cn3.inner(ncn1))
-        inner2 = ema_step(cn3.inner(ocn2))
-        nip1 = jnp.where(scale > 0, inner1 / scale, inner1)
-        nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
-        union3 = cn3.mask | ncn1.mask | ocn2.mask
-        ocn3 = colnorm_plain(cn3.with_values(
-            jnp.where(union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)), fidx)
+        # fused double-GS: one 6-plane sorted-domain colsum pass instead of
+        # three sequential quirk/plain/plain trips (ops/ortho.orthogonalize3)
+        ncn1, ocn2, ocn3, ema_v, n_v = orthogonalize3(
+            cn1, cn2, cn3, ema.value, nvar.value, training, 0.0, fidx)
 
         if training and not self.is_initializing():
             ema.value = ema_v

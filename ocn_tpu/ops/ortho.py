@@ -157,3 +157,99 @@ def orthogonalize(
     ocn2 = gram_schmidt(cn2, ncn1, inner)
     ocn2 = colnorm_plain(ocn2, fidx)
     return ncn1, ocn2, new_ema, new_n
+
+
+def orthogonalize3(
+    cn1: CNFrame,
+    cn2: CNFrame,
+    cn3: CNFrame,
+    ema: jax.Array,
+    n: jax.Array,
+    training: bool,
+    empty_fill: float = 0.0,
+    fidx: Optional[FrameIndex] = None,
+) -> Tuple[CNFrame, CNFrame, CNFrame, jax.Array, jax.Array]:
+    """Full cn6 double-Gram-Schmidt pipeline (reference
+    `CNLinkPredictor3hopCNs`, model.py:2447-2954): quirk-normalize cn1,
+    project cn2 off it, plain-renormalize, then project cn3 off BOTH and
+    plain-renormalize again.  The reference quirks are preserved: all three
+    inner products step ONE shared EMA buffer sequentially
+    (model.py:2524-2533), and both cn3 projections divide by max|ncn1| over
+    the batch (model.py:2848-2856).  Returns (ncn1, ocn2, ocn3, ema, n).
+
+    With ``fidx`` (frames share cn1.ids) the whole pipeline takes ONE
+    sorted-domain pass: a six-plane `entry_col_sum_multi` delivers every
+    column sum the three normalizations need, and the two post-projection
+    sums are algebraic identities of the pre-computed planes —
+
+        colsum(cn2 - nip0*ncn1)             = es2u - nip0*inv1*es1u  (= es_o2)
+        colsum(cn3 - nip1*ncn1 - nip2*ocn2) = es3u - nip1*inv1*es1u3
+                                                   - nip2*inv2*es_o2
+
+    because the GS coefficients (nip*) are batch scalars and the normalizers
+    (inv1, inv2) are constant within a column (reassociation-only float
+    difference); colsum(ocn2) == inv2*es_o2 exactly, since ocn2's support is
+    always inside union3.  The u2/u3-masked planes reproduce the direct
+    path's gradient zeroing at lanes outside each union exactly as in
+    `orthogonalize`: reusing es_o2 for the ocn2 term keeps its union2
+    gradient structure (a u3-masked cn2 plane would leak gradient at
+    v2 == 0 lanes that only cn3 occupies), and the remaining raw-vs-
+    effective union differences all carry a factor inv1 == 0.  That replaces
+    the separate quirk/plain/plain segment-sum round trips (3 forward +
+    3 VJP) by one."""
+    if fidx is not None:
+        from ocn_tpu.ops.frame import entry_col_sum_multi
+
+        u2 = (cn1.val != 0) | (cn2.val != 0)
+        u3 = u2 | (cn3.val != 0)
+        es = entry_col_sum_multi(
+            jnp.stack([
+                cn1.val,
+                jnp.where(u2, cn2.val, 0.0),
+                jnp.where(u2, cn1.val, 0.0),
+                jnp.where(u3, cn3.val, 0.0),
+                jnp.where(u3, cn1.val, 0.0),
+            ]),
+            fidx.perm, fidx.rank, fidx.colsum_out_idx,
+        )
+        es1, es2u, es1u, es3u, es1u3 = (es[i] for i in range(5))
+        # colnorm_quirk on cn1 (model.py:2261-2272 / 2547-2560)
+        s_rep = jnp.where(es1 == 0, 1.0, es1)
+        inv1 = jnp.where(s_rep != 1, 1.0 / s_rep, empty_fill)
+        ncn1 = cn1.with_values(cn1.val * inv1)
+        scale = jnp.max(jnp.abs(ncn1.val))
+        # first GS step: cn2 off ncn1 (model.py:2637-2726)
+        inner0, ema, n = ema_inner_product(cn2, ncn1, ema, n, training)
+        nip0 = jnp.where(scale > 0, inner0 / scale, inner0)
+        union2 = cn2.mask | ncn1.mask
+        val_o2 = jnp.where(union2, cn2.val - nip0 * ncn1.val, 0.0)
+        es_o2 = es2u - nip0 * (inv1 * es1u)
+        inv2 = 1.0 / jnp.where(es_o2 == 0, 1.0, es_o2)
+        ocn2 = cn2.with_values(val_o2 * inv2)
+        # second GS step: cn3 off ncn1 AND ocn2 (model.py:2813-2932)
+        inner1, ema, n = ema_inner_product(cn3, ncn1, ema, n, training)
+        inner2, ema, n = ema_inner_product(cn3, ocn2, ema, n, training)
+        nip1 = jnp.where(scale > 0, inner1 / scale, inner1)
+        nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
+        union3 = cn3.mask | ncn1.mask | ocn2.mask
+        val_o3 = jnp.where(
+            union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)
+        es_o3 = es3u - nip1 * (inv1 * es1u3) - nip2 * (inv2 * es_o2)
+        inv3 = 1.0 / jnp.where(es_o3 == 0, 1.0, es_o3)
+        ocn3 = cn3.with_values(val_o3 * inv3)
+        return ncn1, ocn2, ocn3, ema, n
+    # direct (n_nodes-domain) path — the testing oracle
+    ncn1 = colnorm_quirk(cn1, empty_fill)
+    scale = jnp.max(jnp.abs(ncn1.val))
+    inner0, ema, n = ema_inner_product(cn2, ncn1, ema, n, training)
+    nip0 = jnp.where(scale > 0, inner0 / scale, inner0)
+    ocn2 = colnorm_plain(cn2.with_values(jnp.where(
+        cn2.mask | ncn1.mask, cn2.val - nip0 * ncn1.val, 0.0)))
+    inner1, ema, n = ema_inner_product(cn3, ncn1, ema, n, training)
+    inner2, ema, n = ema_inner_product(cn3, ocn2, ema, n, training)
+    nip1 = jnp.where(scale > 0, inner1 / scale, inner1)
+    nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
+    union3 = cn3.mask | ncn1.mask | ocn2.mask
+    ocn3 = colnorm_plain(cn3.with_values(jnp.where(
+        union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)))
+    return ncn1, ocn2, ocn3, ema, n
