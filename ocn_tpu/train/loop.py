@@ -208,6 +208,16 @@ class Trainer:
                 self.adj2.packed, self.adj2.indptr, jnp.asarray(off2),
                 cfg.pad_deg2)
             self._ell["off2"] = jnp.asarray(off2)
+        if self.adj3 is not None:
+            # cn6's A^3 row gather (cn3_frame) reads _k3_width lanes per dst;
+            # without a table it pays B*k descriptors per chunk vs B with one
+            # (the same 52% descriptor economics as tbl1/tbl2).  (N, 16)
+            # int32 is ~15 MB at collab scale — free next to adj3 itself.
+            k3 = self._k3_width()
+            off3 = ELL.draw_offsets(np.asarray(self.adj3.deg), k3, rng)
+            self._ell["tbl3"] = ELL.build_ell(
+                self.adj3.packed, self.adj3.indptr, jnp.asarray(off3), k3)
+            self._ell["off3"] = jnp.asarray(off3)
 
     def _split_plan(self):
         """Static chunk counts (n_small_pos, n_small_neg) for the dual-K
@@ -288,6 +298,12 @@ class Trainer:
         if nsp + nsn == 0:
             return None
         return nsp, nsn
+
+    def _k3_width(self) -> int:
+        """A^3 row-gather width for cn3_frame (and its ELL table): the 3-hop
+        membership only needs a narrow candidate window (reference cn6 caps
+        via its splitsize/deg flags; 16 covers the collab-class dst rows)."""
+        return min(self.cfg.pad_deg2, 16)
 
     def _sharded_ell_k1(self) -> int:
         """Width of the sharded g-table: must cover cn1's src gather
@@ -383,7 +399,7 @@ class Trainer:
                     with_src=True,
                 )
                 cn3 = cn3_frame(
-                    self.g, ei0, src, k2=min(cfg.pad_deg2, 16), k3=16,
+                    self.g, ei0, src, k2=self._k3_width(), k3=16,
                     counts=cfg.cn2_counts, adj3=self.adj3,
                 )
                 pred_vars = self.predictor.init(
@@ -478,7 +494,7 @@ class Trainer:
 
                 # cn3 shares the SAME candidate frame (src) as cn1/cn2
                 cn3 = cn3_frame(
-                    g, edges, src, k2=min(cfg.pad_deg2, 16), k3=16,
+                    g, edges, src, k2=self._k3_width(), k3=16,
                     counts=cfg.cn2_counts,
                     adj3=adj3 if adj2 is not None else None,
                 )
@@ -711,6 +727,16 @@ class Trainer:
                     mask_positions["ell2"], mask_positions["off2"])
             return adj2
 
+        def local_adj3(mask_positions, adj3):
+            # A^3 likewise (cn6): no mask treatment by design (third-order
+            # paths through the removed edge are a vanishing fraction,
+            # ops/frame.cn3_frame), but the row gather rides the ELL table
+            if (adj3 is not None and isinstance(mask_positions, dict)
+                    and "ell3" in mask_positions):
+                return adj3.with_ell(
+                    mask_positions["ell3"], mask_positions["off3"])
+            return adj3
+
         def train_step(state: TrainState, pos, neg, mask_positions, key,
                        inv_p, inv_n, gargs):
             c = self._chunk()
@@ -723,7 +749,7 @@ class Trainer:
             negc = neg.reshape(2, nchunk, c).transpose(1, 0, 2)
             g = masked_graph(gargs["g"], mask_positions)
             adj2 = local_adj2(mask_positions, gargs["adj2"])
-            adj3 = gargs["adj3"]
+            adj3 = local_adj3(mask_positions, gargs["adj3"])
             k_enc, k_lnk = jax.random.split(key)
             split = self._split
             if split is not None and (inv_p is None or inv_n is None):
@@ -961,7 +987,11 @@ class Trainer:
             fn = self._score_jits.get(k)
             if fn is None:
                 fn = self._score_jits[k] = make_score(k)
-            return fn(params, ema, sched, h, g, adj2, self.adj3, edges,
+            adj3 = self.adj3
+            if (adj3 is not None and cfg.ell_eval and self._use_ell
+                    and self._ell is not None and "tbl3" in self._ell):
+                adj3 = adj3.with_ell(self._ell["tbl3"], self._ell["off3"])
+            return fn(params, ema, sched, h, g, adj2, adj3, edges,
                       valid, key)
 
         self.score = (lambda params, ema, sched, h, g, adj2, edges, valid,
@@ -1044,6 +1074,9 @@ class Trainer:
             if "tbl2" in self._ell:  # absent for cn2/cn4 (no A^2 graph)
                 aux["ell2"] = self._ell["tbl2"]
                 aux["off2"] = self._ell["off2"]
+            if "tbl3" in self._ell:  # cn6's A^3 table
+                aux["ell3"] = self._ell["tbl3"]
+                aux["off3"] = self._ell["off3"]
             if mp_np is not None:
                 flat, cleared = mask_ell_flat_positions(
                     pos_b, mp_np, self._indptr_np, self._ell["off1_np"],

@@ -222,3 +222,42 @@ def test_route_ell_mask_sentinel_is_positive_oob():
     assert me[0][0] == 1 * k + 2 and mc[0][0] == 7
     assert me[1][0] == 3 * k + 1 and mc[1][0] == 9
     assert (me[0][1:] == rows_per * k).all()
+
+
+def test_cn3_adj3_ell_gather_exactness(ds):
+    """cn6's A^3 table (tbl3): with zero offsets the ELL row gather must
+    reproduce the plain (key=None) CSR window gather of adj3 exactly, so
+    cn3_frame built against adj3.with_ell is bit-identical — including
+    capped rows (both layouts take the first k3 entries)."""
+    from ocn_tpu.ops.frame import cn3_frame, cn_frames
+
+    tr = Trainer(_cfg(True, predictor="cn6", pad_deg2=64), ds)
+    g, adj3 = tr.g, tr.adj3
+    assert adj3 is not None
+    k3 = tr._k3_width()
+    off = np.zeros(g.n_nodes, np.int32)
+    tbl3 = ELL.build_ell(adj3.packed, adj3.indptr, jnp.asarray(off), k3)
+    a3e = adj3.with_ell(tbl3, jnp.asarray(off))
+    rng = np.random.default_rng(3)
+    edges = jnp.asarray(rng.integers(0, g.n_nodes, (2, 64)).astype(np.int32))
+    cn1, cn2, src = cn_frames(
+        g, edges, k=16, k2=tr.cfg.pad_deg2, adj2=tr.adj2, with_src=True)
+    a = cn3_frame(g, edges, src, k2=k3, k3=16, adj3=adj3)
+    b = cn3_frame(g, edges, src, k2=k3, k3=16, adj3=a3e)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.val), np.asarray(b.val))
+
+
+def test_cn6_refresh_builds_tbl3_and_trains(ds):
+    """_refresh_ell must build the A^3 table for cn6 and the train step must
+    run with it attached (ell3 in the prepare_batch aux dict)."""
+    tr = Trainer(_cfg(True, predictor="cn6", pad_deg2=64), ds)
+    assert tr._use_ell
+    tr._refresh_ell(np.random.default_rng(7))
+    assert "tbl3" in tr._ell and tr._ell["tbl3"].shape == (
+        ds.n_nodes, tr._k3_width())
+    pe, ne, mpe, ip, inn = _batch(tr, ds)
+    assert "ell3" in mpe
+    _, loss = tr.train_step(tr.init_state(0), pe, ne, mpe,
+                            jax.random.PRNGKey(3), ip, inn)
+    assert np.isfinite(float(loss))
