@@ -933,6 +933,7 @@ def cn3_frame(
     chunk: int = 256,
     counts: bool = False,
     adj3: Optional[Graph] = None,
+    gather_fn=None,
 ) -> CNFrame:
     """3-hop CN frame: cn3[b, k] != 0 iff candidate k (in N(i)) has
     A^3[j_b, k] > 0 (reference cn6 consumes `adjoverlap(adj, adj3, edge)`;
@@ -950,8 +951,9 @@ def cn3_frame(
     chunked over the batch — the cubic analogue of the cn2 SDDMM.
     """
     b, k = src.ids.shape
+    gather = gather_fn or gather_neighbors
     if adj3 is not None:
-        a3row = gather_neighbors(adj3, tar_ei[1], k2, key)
+        a3row = gather(adj3, tar_ei[1], k2, key)
         counts3 = _rowwise_membership(src.ids, a3row.ids, a3row.w)
         base = counts3 if counts else (counts3 > 0).astype(jnp.float32)
         val = jnp.where(src.w != 0, src.w * base, 0.0)

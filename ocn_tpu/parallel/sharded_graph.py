@@ -32,7 +32,8 @@ the same expectation-equivalent treatment as parallel/spmd.py.  Loss parity
 with the replicated shard_map DP step is exact when sampling is off
 (tests/test_sharded_graph.py).
 
-Scope (v1): frame-based predictors (cn1/5/7/8/9), two_hop_mode="gather",
+Scope: frame-based predictors (cn1/5/6/7/8/9 — cn6's A^3 table rides as a
+third set of row-range shards since round 5), two_hop_mode="gather",
 window_table off, no dual-K split (the GSPMD mesh path supports the split;
 here chunk->device assignment is contiguous and the split's degree sort would
 unbalance the static per-device small/big chunk counts — round-robin chunk
@@ -506,10 +507,16 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
     from ocn_tpu.train.loop import TrainState
 
     cfg = tr.cfg
-    assert tr.frame_based and cfg.predictor not in THREE_HOP, (
-        "sharded-graph v1 covers the frame-based predictors (cn1/5/7/8/9)")
+    assert tr.frame_based, (
+        "sharded-graph covers the frame-based predictors (cn1/5/6/7/8/9)")
     assert cfg.two_hop_mode == "gather" and tr.adj2 is not None, (
         "sharded-graph v1 needs the precomputed A^2 ('gather' mode)")
+    use3 = cfg.predictor in THREE_HOP
+    if use3:
+        # cn6: the A^3 table rides as a third set of row-range shards; the
+        # cn3 candidate frame shares cn1's src layout, so only the dst-side
+        # A^3 row gather (owner-gather like A^2) is new exchange
+        assert tr.adj3 is not None, "THREE_HOP needs the precomputed A^3"
     assert not cfg.window_table and not cfg.hoist_frames
     ndev = mesh.shape[axis]
     c = tr._chunk()
@@ -550,9 +557,20 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         wip2 = wcol2 = dummy
         wval2 = wvalA
         wpos0A = np.zeros(ndev, np.int64)
+        if use3:
+            wdeg3 = _pad_deg(np.asarray(tr.adj3.deg).astype(np.int32))
+            wip3 = wcol3 = dummy
+            wval3 = wvalA
     else:
         wipA, wcolA, wvalA, wdegA, wpos0A = partition_windows(g, ndev)
         wip2, wcol2, wval2, wdeg2, _ = partition_windows(tr.adj2, ndev)
+        if use3:
+            wip3, wcol3, wval3, wdeg3, _ = partition_windows(tr.adj3, ndev)
+    if not use3:
+        # dummy third-graph shards keep one shard_map signature either way
+        wip3 = wcol3 = np.zeros((ndev, 1), np.int32)
+        wval3 = np.zeros((ndev, 1), np.float32)
+        wdeg3 = np.zeros((ndev, 1), np.int32)
     layout = boundary_entry_layout(g, ndev)
     rows_per = bp.rows_per
 
@@ -574,6 +592,8 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
     wdegAj = jnp.asarray(wdegA)
     wip2j, wcol2j, wval2j = jnp.asarray(wip2), jnp.asarray(wcol2), jnp.asarray(wval2)
     wdeg2j = jnp.asarray(wdeg2)
+    wip3j, wcol3j, wval3j = jnp.asarray(wip3), jnp.asarray(wcol3), jnp.asarray(wval3)
+    wdeg3j = jnp.asarray(wdeg3)
     r0s = jnp.asarray((np.arange(ndev) * rows_per).astype(np.int32))[:, None]
 
     # features: pad node rows to ndev * rows_per
@@ -644,9 +664,10 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             P(axis), P(axis), P(axis), P(axis), P(axis),  # mask routings
             P(),                     # key
             P(), P(),                # inv_p, inv_n (replicated score perms)
-            P(axis), P(axis),        # ell1, ell2 shards
+            P(axis), P(axis), P(axis),  # ell1, ell2, ell3 shards
             P(axis),                 # x shards (ndev, rows_per, ...)
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
             P(axis),
@@ -655,10 +676,11 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         check_vma=False,
     )
     def sharded_grads(state, pos, neg, mi, mb, mw, me, mc, key, inv_p, inv_n,
-                      ell1, ell2,
+                      ell1, ell2, ell3,
                       x_l, icol_, irow_, ival_, bpos_, brow_, bval_, sidx_,
                       wipA_, wcolA_, wvalA_, wdegA_,
-                      wip2_, wcol2_, wval2_, wdeg2_, r0_):
+                      wip2_, wcol2_, wval2_, wdeg2_,
+                      wip3_, wcol3_, wval3_, wdeg3_, r0_):
         dev = jax.lax.axis_index(axis)
         key = jax.random.fold_in(key, dev)
         # maskinput: local scatters of zeros (pad lanes hit the pad slot)
@@ -685,6 +707,11 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
                 ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
                 r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
                 ell=ell2[0], ell_k=ell2.shape[-1], col_bits=tr.adj2.col_bits)
+            lwA3 = LocalWindows(
+                ip=wip3_[0], col=wcol3_[0], val=wval3_[0], deg=wdeg3_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
+                ell=ell3[0], ell_k=ell3.shape[-1],
+                col_bits=tr.adj3.col_bits) if use3 else None
         else:
             wvalA_m = wvalA_[0].at[mw[0]].set(0.0)
             lwA = LocalWindows(
@@ -693,6 +720,10 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             lwA2 = LocalWindows(
                 ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
                 r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
+            lwA3 = LocalWindows(
+                ip=wip3_[0], col=wcol3_[0], val=wval3_[0], deg=wdeg3_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes,
+                axis=axis) if use3 else None
 
         bl = pos.shape[1]  # local edges per device
         nc = bl // c
@@ -722,7 +753,7 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
                 out, ema2 = tr._scan_scores(
                     params, ema, state.sched, h, lwA, allc, validc, k_lnk,
                     True, adj2=lwA2, corrs=corrs_for(nc, nc),
-                    gather_fn=gather_fn)
+                    gather_fn=gather_fn, adj3=lwA3)
                 pos_l, neg_l = out[:bl], out[bl:]
             else:
                 # dual-K: this device's local chunk layout is
@@ -741,7 +772,7 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
                         params, ema_c, state.sched, h, lwA, small,
                         jnp.ones((nsp_l + nsn_l, c), tr.dtype), k_lnk, True,
                         adj2=lwA2, corrs=corrs_for(nsp_l, nsn_l),
-                        k=cfg.k_small, gather_fn=gather_fn)
+                        k=cfg.k_small, gather_fn=gather_fn, adj3=lwA3)
                     pos_parts.append(out_s[: nsp_l * c])
                     neg_parts.append(out_s[nsp_l * c:])
                     i0 = nsp_l + nsn_l
@@ -751,7 +782,7 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
                         params, ema_c, state.sched, h, lwA, big,
                         jnp.ones((nbp_l + nbn_l, c), tr.dtype), k_lnk, True,
                         i0=i0, adj2=lwA2, corrs=corrs_for(nbp_l, nbn_l),
-                        gather_fn=gather_fn)
+                        gather_fn=gather_fn, adj3=lwA3)
                     pos_parts.append(out_b[: nbp_l * c])
                     neg_parts.append(out_b[nbp_l * c:])
                 ema2 = ema_c
@@ -789,7 +820,7 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
 
     @jax.jit
     def step(state, pos, neg, masks, key, inv_p=None, inv_n=None,
-             ell1=None, ell2=None):
+             ell1=None, ell2=None, ell3=None):
         mi, mb, mw, me, mc = masks
         if use_ell and ell1 is None:
             raise ValueError(
@@ -798,12 +829,15 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
         if ell1 is None:
             ell1 = jnp.zeros((ndev, 1, 1), jnp.int32)
             ell2 = jnp.zeros((ndev, 1, 1), jnp.int32)
+        if ell3 is None:
+            ell3 = jnp.zeros((ndev, 1, 1), jnp.int32)
         loss, grads, ema2 = sharded_grads(
             state, pos, neg, mi, mb, mw, me, mc, key, inv_p, inv_n,
-            ell1, ell2,
+            ell1, ell2, ell3,
             xj, icol, irow, ival0, bpos, brow, bval0, sidx,
             wipAj, wcolAj, wvalA0, wdegAj,
-            wip2j, wcol2j, wval2j, wdeg2j, r0s)
+            wip2j, wcol2j, wval2j, wdeg2j,
+            wip3j, wcol3j, wval3j, wdeg3j, r0s)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, ema2, state.sched, new_opt), loss
@@ -863,19 +897,21 @@ def make_sharded_encode(tr, mesh: Mesh, g: Graph, x, axis: str = "dp"):
 
 
 def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
-                       axis: str = "dp"):
+                       axis: str = "dp", adj3: Optional[Graph] = None):
     """Forward-only scorer against sharded window tables (or ELL shards).
 
-    Returns score(params, ema, sched, h, edges, valid, key, ell1, ell2)
+    Returns score(params, ema, sched, h, edges, valid, key, ell1, ell2, ell3)
     -> (bs,) scores, where edges is (2, bs) with bs divisible by
     ndev * chunk; ``h`` is the replicated hidden-state matrix from
     make_sharded_encode.  Used by Trainer.evaluate / evaluate_mrr when
-    graph_sharding == "node" — eval never replicates the adjacency, A^2 or
-    the window tables."""
+    graph_sharding == "node" — eval never replicates the adjacency, A^2/A^3
+    or the window tables.  ``adj3``: the THREE_HOP (cn6) A^3 graph, sharded
+    like A^2."""
     cfg = tr.cfg
     ndev = mesh.shape[axis]
     c = tr._chunk()
     rows_per = -(-g.n_nodes // ndev)
+    use3 = adj3 is not None
 
     if use_ell:
         def _pad_deg(d):
@@ -889,11 +925,22 @@ def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
         dummy = np.zeros((ndev, 1), np.int32)
         wipA = wcolA = wip2 = wcol2 = dummy
         wvalA = wval2 = np.zeros((ndev, 1), np.float32)
+        if use3:
+            wdeg3 = _pad_deg(adj3.deg)
+            wip3 = wcol3 = dummy
+            wval3 = wvalA
     else:
         wipA, wcolA, wvalA, wdegA, _ = partition_windows(g, ndev)
         wip2, wcol2, wval2, wdeg2, _ = partition_windows(adj2, ndev)
+        if use3:
+            wip3, wcol3, wval3, wdeg3, _ = partition_windows(adj3, ndev)
+    if not use3:
+        wip3 = wcol3 = np.zeros((ndev, 1), np.int32)
+        wval3 = np.zeros((ndev, 1), np.float32)
+        wdeg3 = np.zeros((ndev, 1), np.int32)
     warrs = tuple(jnp.asarray(a) for a in (
-        wipA, wcolA, wvalA, wdegA, wip2, wcol2, wval2, wdeg2))
+        wipA, wcolA, wvalA, wdegA, wip2, wcol2, wval2, wdeg2,
+        wip3, wcol3, wval3, wdeg3))
     r0s = jnp.asarray((np.arange(ndev) * rows_per).astype(np.int32))[:, None]
 
     def gather_fn(lw, nodes, k, key):
@@ -905,7 +952,8 @@ def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
             P(), P(), P(), P(),          # params, ema, sched, h
             P(None, axis), P(axis),      # edges, valid
             P(),                         # key
-            P(axis), P(axis),            # ell shards
+            P(axis), P(axis), P(axis),   # ell shards
+            P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
             P(axis),
@@ -913,9 +961,10 @@ def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
         out_specs=P(axis),
         check_vma=False,
     )
-    def score_sm(params, ema, sched, h, edges, valid, key, ell1, ell2,
+    def score_sm(params, ema, sched, h, edges, valid, key, ell1, ell2, ell3,
                  wipA_, wcolA_, wvalA_, wdegA_,
-                 wip2_, wcol2_, wval2_, wdeg2_, r0_):
+                 wip2_, wcol2_, wval2_, wdeg2_,
+                 wip3_, wcol3_, wval3_, wdeg3_, r0_):
         if use_ell:
             lwA = LocalWindows(
                 ip=wipA_[0], col=wcolA_[0], val=wvalA_[0], deg=wdegA_[0],
@@ -925,6 +974,11 @@ def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
                 ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
                 r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
                 ell=ell2[0], ell_k=ell2.shape[-1], col_bits=adj2.col_bits)
+            lwA3 = LocalWindows(
+                ip=wip3_[0], col=wcol3_[0], val=wval3_[0], deg=wdeg3_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis,
+                ell=ell3[0], ell_k=ell3.shape[-1],
+                col_bits=adj3.col_bits) if use3 else None
         else:
             lwA = LocalWindows(
                 ip=wipA_[0], col=wcolA_[0], val=wvalA_[0], deg=wdegA_[0],
@@ -932,6 +986,10 @@ def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
             lwA2 = LocalWindows(
                 ip=wip2_[0], col=wcol2_[0], val=wval2_[0], deg=wdeg2_[0],
                 r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes, axis=axis)
+            lwA3 = LocalWindows(
+                ip=wip3_[0], col=wcol3_[0], val=wval3_[0], deg=wdeg3_[0],
+                r0=r0_[0, 0], rows_per=rows_per, n_nodes=g.n_nodes,
+                axis=axis) if use3 else None
         bl = edges.shape[1]
         nc = bl // c
         ec = edges.reshape(2, nc, c).transpose(1, 0, 2)
@@ -942,15 +1000,18 @@ def make_sharded_score(tr, mesh: Mesh, g: Graph, adj2: Graph, use_ell: bool,
         out, _ = tr._scan_scores(
             params, ema, sched, h, lwA, ec, vc,
             jax.random.fold_in(key, dev), False,
-            adj2=lwA2, gather_fn=gather_fn)
+            adj2=lwA2, gather_fn=gather_fn, adj3=lwA3)
         return out
 
     @jax.jit
-    def score(params, ema, sched, h, edges, valid, key, ell1=None, ell2=None):
+    def score(params, ema, sched, h, edges, valid, key, ell1=None, ell2=None,
+              ell3=None):
         if ell1 is None:
             ell1 = jnp.zeros((ndev, 1, 1), jnp.int32)
             ell2 = jnp.zeros((ndev, 1, 1), jnp.int32)
+        if ell3 is None:
+            ell3 = jnp.zeros((ndev, 1, 1), jnp.int32)
         return score_sm(params, ema, sched, h, edges, valid, key, ell1, ell2,
-                        *warrs, r0s)
+                        ell3, *warrs, r0s)
 
     return score

@@ -197,6 +197,15 @@ class Trainer:
                 tbl2_sh=jax.device_put(partition_ell(t2, ndev, rows_per), sh),
                 off1_np=off1,
             )
+            if self.adj3 is not None:
+                k3 = self._k3_width()
+                off3 = ELL.draw_offsets(
+                    np.asarray(self.adj3.deg), k3, rng)
+                t3 = ELL.build_ell_np(
+                    np.asarray(self.adj3.packed),
+                    np.asarray(self.adj3.indptr), off3, k3)
+                self._ell["tbl3_sh"] = jax.device_put(
+                    partition_ell(t3, ndev, rows_per), sh)
             return
         tbl1 = ELL.build_ell(
             self.g.packed, self.g.indptr, jnp.asarray(off1), cfg.pad_deg)
@@ -497,6 +506,7 @@ class Trainer:
                     g, edges, src, k2=self._k3_width(), k3=16,
                     counts=cfg.cn2_counts,
                     adj3=adj3 if adj2 is not None else None,
+                    gather_fn=gather_fn,
                 )
                 cn3 = cn3.with_values(cn3.val * valid[:, None])
                 out, upd = self.predictor.apply(
@@ -892,12 +902,13 @@ class Trainer:
 
             def train_step_wrap(state, pos, neg, mask_positions, key,
                                 inv_p=None, inv_n=None):
-                ell1 = ell2 = None
+                ell1 = ell2 = ell3 = None
                 if self._use_ell and self._ell is not None:
                     ell1, ell2 = self._ell["tbl1_sh"], self._ell["tbl2_sh"]
+                    ell3 = self._ell.get("tbl3_sh")
                 return sg_step(state, jnp.asarray(pos), jnp.asarray(neg),
                                sg_prepare(mask_positions), key,
-                               inv_p, inv_n, ell1, ell2)
+                               inv_p, inv_n, ell1, ell2, ell3)
 
             self.train_step = train_step_wrap
         elif mesh is not None:
@@ -1163,7 +1174,7 @@ class Trainer:
                     (1 * 0x9E3779B1 + 0x85EBCA77) & 0xFFFFFFFF))
             enc = make_sharded_encode(self, self.mesh, self.g, self.x)
             sc = make_sharded_score(self, self.mesh, self.g, self.adj2,
-                                    use_ell)
+                                    use_ell, adj3=self.adj3)
             enc_full = sc_full = None
             if (self.cfg.use_valedges_as_input
                     and self.ds.full_edge_index is not None):
@@ -1171,8 +1182,12 @@ class Trainer:
                 # train ELL tables do not apply (same rule as _eval_graphs)
                 enc_full = make_sharded_encode(
                     self, self.mesh, self.full_g, self.x)
+                # adj3 stays the train-graph A^3 on the full-graph pass (the
+                # replicated score_k does the same; full-graph A^3 is never
+                # built)
                 sc_full = make_sharded_score(
-                    self, self.mesh, self.full_g, self.full_adj2, False)
+                    self, self.mesh, self.full_g, self.full_adj2, False,
+                    adj3=self.adj3)
             self._sh_eval = (enc, sc, enc_full, sc_full, use_ell)
         return self._sh_eval
 
@@ -1183,9 +1198,10 @@ class Trainer:
         cfg = self.cfg
         unit = self.mesh.shape["dp"] * self._chunk()
         bs = max(unit, (cfg.testbs // unit) * unit)
-        ell1 = ell2 = None
+        ell1 = ell2 = ell3 = None
         if use_ell:
             ell1, ell2 = self._ell["tbl1_sh"], self._ell["tbl2_sh"]
+            ell3 = self._ell.get("tbl3_sh")
         out = []
         n = edges.shape[0]
         eval_key = jax.random.PRNGKey(cfg.seed)
@@ -1201,7 +1217,7 @@ class Trainer:
             s = scorer(
                 state.params, state.ema, state.sched, h,
                 jnp.asarray(chunk.astype(np.int32)), jnp.asarray(valid),
-                jax.random.fold_in(eval_key, start), ell1, ell2)
+                jax.random.fold_in(eval_key, start), ell1, ell2, ell3)
             out.append(np.asarray(s[:c]))
         return np.concatenate(out) if out else np.zeros((0,))
 

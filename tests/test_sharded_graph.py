@@ -322,3 +322,128 @@ def test_sharded_production_config_epoch(ds):
     state = tr.init_state(0)
     state, loss = tr.train_epoch(state, np.random.default_rng(0), epoch=1)
     assert np.isfinite(loss)
+
+
+def test_sharded_three_hop_step_matches_replicated(ds):
+    """cn6 joins the sharded-graph scope (round 5): the A^3 table rides as a
+    third set of row-range shards and cn3_frame's dst row gather goes through
+    the owner-gather seam.  Loss trajectory must match the replicated
+    shard_map DP step like cn5's does."""
+    from ocn_tpu.parallel.sharded_graph import make_sharded_graph_train_step
+    from ocn_tpu.parallel.spmd import make_spmd_train_step
+
+    cfg = _cfg(predictor="cn6")
+    tr = Trainer(cfg, ds)
+    assert tr.adj3 is not None
+    mesh = make_mesh(8, 1)
+    step_rep = make_spmd_train_step(tr, mesh)
+    step_sh, prepare = make_sharded_graph_train_step(tr, mesh)
+
+    state_r = tr.init_state(0)
+    state_s = tr.init_state(0)
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        pos, neg, mp = _batch(tr, ds, seed=i)
+        ki = jax.random.fold_in(key, i)
+        state_r, loss_r = step_rep(state_r, pos, neg, jnp.asarray(mp), ki)
+        state_s, loss_s = step_sh(state_s, pos, neg, prepare(mp), ki)
+        assert np.isfinite(float(loss_r)) and np.isfinite(float(loss_s))
+        # tolerance is wider than cn5's 2e-4: the halo-exchange SpMM's float
+        # reassociation in h amplifies through cn6's three aggregate planes
+        # and deeper head; the MATH parity (frames bit-identical through the
+        # owner-gather seam) is pinned separately below
+        np.testing.assert_allclose(
+            float(loss_s), float(loss_r), rtol=3e-3,
+            err_msg=f"step {i}: sharded {float(loss_s)} vs replicated "
+                    f"{float(loss_r)}")
+
+
+def test_sharded_cn3_frame_bit_identical(ds):
+    """cn3_frame through the sharded owner-gather seam must be BIT-identical
+    to the replicated path — ids and values — including A^3 rows far above
+    the k3 cap (first-k windows on both sides with key=None)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from ocn_tpu.ops.frame import cn3_frame, cn_frames
+    from ocn_tpu.parallel.sharded_graph import (
+        LocalWindows, partition_windows, sharded_gather_neighbors)
+
+    cfg = _cfg(predictor="cn6")
+    tr = Trainer(cfg, ds)
+    mesh = make_mesh(8, 1)
+    wip, wcol, wval, wdeg, _ = partition_windows(tr.adj3, 8)
+    rows_per = wdeg.shape[1]
+    r0s = jnp.asarray((np.arange(8) * rows_per).astype(np.int32))[:, None]
+    k3 = tr._k3_width()
+
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, ds.n_nodes, size=(2, 8 * 16)).astype(np.int32)
+    cn1, cn2, src = cn_frames(
+        tr.g, jnp.asarray(edges), k=8, k2=cfg.pad_deg2, adj2=tr.adj2,
+        with_src=True)
+    ref = cn3_frame(tr.g, jnp.asarray(edges), src, k2=k3, k3=16,
+                    adj3=tr.adj3)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                  P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    def run(dst_l, sids_l, svals_l, ip, col, val, deg, r0):
+        lw = LocalWindows(ip=ip[0], col=col[0], val=val[0], deg=deg[0],
+                          r0=r0[0, 0], rows_per=rows_per,
+                          n_nodes=tr.g.n_nodes, axis="dp")
+        nf = sharded_gather_neighbors(lw, dst_l, k3, None)
+        from ocn_tpu.ops.frame import _rowwise_membership
+        counts3 = _rowwise_membership(sids_l, nf.ids, nf.w)
+        base = (counts3 > 0).astype(jnp.float32)
+        return sids_l, jnp.where(svals_l != 0, svals_l * base, 0.0)
+
+    ids_s, val_s = run(
+        jnp.asarray(edges[1]), src.ids, src.w,
+        jnp.asarray(wip), jnp.asarray(wcol), jnp.asarray(wval),
+        jnp.asarray(wdeg), r0s)
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(val_s), np.asarray(ref.val))
+
+
+def test_sharded_three_hop_eval_scores_match(ds):
+    """The sharded forward-only scorer must reproduce the replicated score
+    path for cn6.  Column sums are per predictor call, so the replicated
+    oracle scores the SAME per-device 1-chunk slices (PARITY.md §8
+    granularity rule)."""
+    from ocn_tpu.parallel.sharded_graph import (
+        make_sharded_encode, make_sharded_score)
+
+    cfg = _cfg(predictor="cn6", eval_sampling=False)
+    tr = Trainer(cfg, ds)
+    mesh = make_mesh(8, 1)
+    state = tr.init_state(0)
+    enc = make_sharded_encode(tr, mesh, tr.g, tr.x)
+    sc = make_sharded_score(tr, mesh, tr.g, tr.adj2, False, adj3=tr.adj3)
+    h_s = enc(state.params["encoder"])
+    h_r = tr.encode(state.params, tr.g)
+    np.testing.assert_allclose(
+        np.asarray(h_s), np.asarray(h_r), rtol=2e-4, atol=2e-5)
+    rng = np.random.default_rng(5)
+    c = tr._chunk()
+    bs = 8 * c
+    edges = rng.integers(0, ds.n_nodes, size=(2, bs)).astype(np.int32)
+    valid = np.ones((bs,), np.float32)
+    key = jax.random.PRNGKey(9)
+    s_sh = sc(state.params, state.ema, state.sched, jnp.asarray(h_r),
+              jnp.asarray(edges), jnp.asarray(valid), key)
+    parts = []
+    for d in range(8):  # same chunk slices the 8 devices score
+        sl = edges[:, d * c:(d + 1) * c]
+        parts.append(np.asarray(tr.score(
+            state.params, state.ema, state.sched, jnp.asarray(h_r),
+            tr.g, tr.adj2, jnp.asarray(sl),
+            jnp.asarray(valid[d * c:(d + 1) * c]), key)))
+    s_re = np.concatenate(parts)
+    np.testing.assert_allclose(
+        np.asarray(s_sh), s_re, rtol=2e-3, atol=2e-4)
