@@ -12,8 +12,11 @@ Gram-Schmidt:
 
 Faithful quirk: all three inner products share ONE running-mean buffer
 (`innerprod1` reuses self.innerprod / self.n, model.py:2524-2533), so each
-forward steps the same EMA three times, and both cn3 projections divide by
-max|ncn1| (model.py:2848-2856).
+forward steps the same EMA three times, both cn3 projections divide by
+max|ncn1| (model.py:2848-2856), and both cn3 coefficients alias to the
+buffer's post-third-update value (`innerprod1` returns the buffer tensor
+itself; the nip1 division happens after the nip2 call stepped it —
+see ops/ortho.orthogonalize3).
 """
 from __future__ import annotations
 
@@ -61,7 +64,7 @@ class OCN3HopPredictor(nn.Module):
         from ocn_tpu.ops.ortho import orthogonalize3
 
         fidx = frame_index(cn1.ids, g.n_nodes)  # shared: all frames use src ids
-        # fused double-GS: one 6-plane sorted-domain colsum pass instead of
+        # fused double-GS: one 5-plane sorted-domain colsum pass instead of
         # three sequential quirk/plain/plain trips (ops/ortho.orthogonalize3)
         ncn1, ocn2, ocn3, ema_v, n_v = orthogonalize3(
             cn1, cn2, cn3, ema.value, nvar.value, training, 0.0, fidx)

@@ -174,11 +174,18 @@ def orthogonalize3(
     project cn2 off it, plain-renormalize, then project cn3 off BOTH and
     plain-renormalize again.  The reference quirks are preserved: all three
     inner products step ONE shared EMA buffer sequentially
-    (model.py:2524-2533), and both cn3 projections divide by max|ncn1| over
-    the batch (model.py:2848-2856).  Returns (ncn1, ocn2, ocn3, ema, n).
+    (model.py:2524-2533), both cn3 projections divide by max|ncn1| over
+    the batch (model.py:2848-2856), and — the aliasing quirk — BOTH cn3
+    coefficients read the buffer AFTER the third update: `innerprod1`
+    returns `self.innerprod` (the buffer tensor itself, not a copy), and
+    model.py divides `inner_product1` by scale_factor only after the
+    `inner_product2` call has stepped the buffer again, so nip1 == nip2 ==
+    (EMA after all three steps)/scale during training.  In eval the buffer
+    is returned unchanged by every call, so the same "final EMA for both"
+    rule holds there too.  Returns (ncn1, ocn2, ocn3, ema, n).
 
     With ``fidx`` (frames share cn1.ids) the whole pipeline takes ONE
-    sorted-domain pass: a six-plane `entry_col_sum_multi` delivers every
+    sorted-domain pass: a five-plane `entry_col_sum_multi` delivers every
     column sum the three normalizations need, and the two post-projection
     sums are algebraic identities of the pre-computed planes —
 
@@ -227,10 +234,10 @@ def orthogonalize3(
         inv2 = 1.0 / jnp.where(es_o2 == 0, 1.0, es_o2)
         ocn2 = cn2.with_values(val_o2 * inv2)
         # second GS step: cn3 off ncn1 AND ocn2 (model.py:2813-2932)
-        inner1, ema, n = ema_inner_product(cn3, ncn1, ema, n, training)
+        _, ema, n = ema_inner_product(cn3, ncn1, ema, n, training)
         inner2, ema, n = ema_inner_product(cn3, ocn2, ema, n, training)
-        nip1 = jnp.where(scale > 0, inner1 / scale, inner1)
-        nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
+        # aliasing quirk: both coefficients read the buffer post-THIRD step
+        nip1 = nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
         union3 = cn3.mask | ncn1.mask | ocn2.mask
         val_o3 = jnp.where(
             union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)
@@ -245,10 +252,9 @@ def orthogonalize3(
     nip0 = jnp.where(scale > 0, inner0 / scale, inner0)
     ocn2 = colnorm_plain(cn2.with_values(jnp.where(
         cn2.mask | ncn1.mask, cn2.val - nip0 * ncn1.val, 0.0)))
-    inner1, ema, n = ema_inner_product(cn3, ncn1, ema, n, training)
+    _, ema, n = ema_inner_product(cn3, ncn1, ema, n, training)
     inner2, ema, n = ema_inner_product(cn3, ocn2, ema, n, training)
-    nip1 = jnp.where(scale > 0, inner1 / scale, inner1)
-    nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
+    nip1 = nip2 = jnp.where(scale > 0, inner2 / scale, inner2)
     union3 = cn3.mask | ncn1.mask | ocn2.mask
     ocn3 = colnorm_plain(cn3.with_values(jnp.where(
         union3, cn3.val - nip1 * ncn1.val - nip2 * ocn2.val, 0.0)))

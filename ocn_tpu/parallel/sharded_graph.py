@@ -826,6 +826,13 @@ def make_sharded_graph_train_step(tr, mesh: Mesh, axis: str = "dp"):
             raise ValueError(
                 "this sharded step was built with ELL tables (tr._use_ell); "
                 "pass the current refresh's shards (Trainer._ell)")
+        if use_ell and use3 and ell3 is None:
+            # without this, the (ndev,1,1) placeholder gives LocalWindows
+            # ell_k=1 and sharded_gather_neighbors silently falls through to
+            # the 1-wide dummy CSR arrays -> wrong cn3 frames
+            raise ValueError(
+                "THREE_HOP sharded step with ELL tables needs the A^3 shard "
+                "table too (ell3); got None")
         if ell1 is None:
             ell1 = jnp.zeros((ndev, 1, 1), jnp.int32)
             ell2 = jnp.zeros((ndev, 1, 1), jnp.int32)

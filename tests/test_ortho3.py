@@ -9,10 +9,13 @@ column sums (ops/ortho.py).  These tests pin:
    and empty columns;
 2. fused GRADIENTS (wrt all three value planes) == the oracle's;
 3. the shared-EMA-buffer quirk: three sequential steps per training forward
-   (reference model.py:2524-2533), eval leaves state untouched and feeds the
-   stored value to all three inner products;
-4. the rewired OCN3HopPredictor still matches a from-scratch re-derivation
-   of the old unfused module math.
+   (reference model.py:2524-2533), BOTH cn3 coefficients aliasing to the
+   post-third-step buffer value (innerprod1 returns the buffer tensor
+   itself; nip1's division happens after the nip2 call stepped it), eval
+   leaves state untouched and feeds the stored value to all three inner
+   products;
+4. the fused path still matches a from-scratch re-derivation of the unfused
+   module math (separate colnorm trips, explicit GS, aliased nips).
 """
 import jax
 import jax.numpy as jnp
@@ -149,9 +152,10 @@ def test_orthogonalize3_ema_quirk(rng):
 
 
 def test_matches_old_predictor_body(rng):
-    """orthogonalize3(fused) must reproduce the pre-round-5 OCN3HopPredictor
-    body exactly: per-frame colnorm_quirk/colnorm_plain (each its own
-    entry_col_sum trip) + explicit GS with sequential shared-EMA nips."""
+    """orthogonalize3(fused) must reproduce the unfused module math exactly:
+    per-frame colnorm_quirk/colnorm_plain (each its own entry_col_sum trip)
+    + explicit GS with sequential shared-EMA steps and the reference's
+    aliasing (nip1 == nip2 == post-third-step EMA / scale)."""
     from ocn_tpu.ops.ortho import colnorm_plain, colnorm_quirk
 
     n = 23
@@ -170,7 +174,8 @@ def test_matches_old_predictor_body(rng):
     ema2 = 0.5 * ema1 + 0.5 * i1
     i2 = c3.inner(ocn2)
     ema3 = (2.0 / 3.0) * ema2 + (1.0 / 3.0) * i2
-    nip1 = jnp.where(scale > 0, ema2 / scale, ema2)
+    # reference aliasing: both coefficients read the post-third-step buffer
+    nip1 = jnp.where(scale > 0, ema3 / scale, ema3)
     nip2 = jnp.where(scale > 0, ema3 / scale, ema3)
     ocn3 = colnorm_plain(c3.with_values(
         jnp.where(c3.mask | ncn1.mask | ocn2.mask,
