@@ -105,6 +105,14 @@ class Config:
                                      # ground between per-chunk and hoisted
     adj2_cap: int = 1024             # A^2 row cap for the host SpGEMM
     adj3_cap: int = 256              # A^3 row cap (cn6 "gather" fast path)
+    k3: int = 0                      # cn6 A^3 row-gather width (cn3_frame's
+                                     # dst window + the tbl3 ELL width).
+                                     # 0 = auto: min(pad_deg2, 16).  Wider
+                                     # reads more of each capped A^3 row per
+                                     # chunk (cost scales with B*k3 on the
+                                     # non-ELL path, N*k3 table memory on the
+                                     # ELL path); sensitivity study in
+                                     # BASELINE.md round 5.
     window_table: bool = False       # hoist y = stop_grad(h)[g.col] and read
                                      # frame rows as contiguous CSR window
                                      # slices via the Pallas window-DMA
@@ -391,7 +399,8 @@ _DRIVER_OVERLAYS = {
 # preset test enforces that no reference flag hides in an overlay.
 _TPU_OVERLAY_FIELDS = frozenset({
     "pad_deg", "pad_deg2", "pad_deg2_dst", "count2_chunk", "two_hop_mode",
-    "hoist_frames", "frame_group", "adj2_cap", "adj3_cap", "window_table",
+    "hoist_frames", "frame_group", "adj2_cap", "adj3_cap", "k3",
+    "window_table",
     "reorder", "k_small", "small_frac", "small_frac_neg", "k_neg",
     "ell_tables", "ell_refresh", "ell_eval", "rec_k", "lane_dropadj",
     "dual_k_eval",

@@ -147,8 +147,13 @@ class IncompleteCNPredictor(nn.Module):
                 drop = (dk, self.edrop)
             else:
                 g = g.drop_edges(dk, self.edrop)
+        # the "sample" stream is drawn whenever provided — at eval the
+        # Trainer passes a chunk-folded FIXED key (cfg.eval_sampling), so the
+        # family samples capped rows randomly at eval like the reference's
+        # tstdeg sparsesample_reweight (utils.py:109-143) while staying
+        # deterministic across eval calls
         sample_key = (
-            self.make_rng("sample") if training and self.has_rng("sample") else None
+            self.make_rng("sample") if self.has_rng("sample") else None
         )
 
         xij_raw = x[tar_ei[0]] * x[tar_ei[1]]
@@ -273,8 +278,13 @@ class IncompleteCNPredictor(nn.Module):
                 drop = (dk, self.edrop)
             else:
                 g = g.drop_edges(dk, self.edrop)
+        # the "sample" stream is drawn whenever provided — at eval the
+        # Trainer passes a chunk-folded FIXED key (cfg.eval_sampling), so the
+        # family samples capped rows randomly at eval like the reference's
+        # tstdeg sparsesample_reweight (utils.py:109-143) while staying
+        # deterministic across eval calls
         sample_key = (
-            self.make_rng("sample") if training and self.has_rng("sample") else None
+            self.make_rng("sample") if self.has_rng("sample") else None
         )
         kk = jax.random.split(sample_key, 6) if sample_key is not None else [None] * 6
 

@@ -311,7 +311,10 @@ class Trainer:
     def _k3_width(self) -> int:
         """A^3 row-gather width for cn3_frame (and its ELL table): the 3-hop
         membership only needs a narrow candidate window (reference cn6 caps
-        via its splitsize/deg flags; 16 covers the collab-class dst rows)."""
+        via its splitsize/deg flags; 16 covers the collab-class dst rows).
+        `Config.k3` overrides (sensitivity study: BASELINE.md round 5)."""
+        if self.cfg.k3 > 0:
+            return self.cfg.k3
         return min(self.cfg.pad_deg2, 16)
 
     def _sharded_ell_k1(self) -> int:
@@ -480,6 +483,14 @@ class Trainer:
             # fixed key so eval is deterministic across calls.  None =
             # first-k window (cfg.eval_sampling=False).
             frame_key = key if cfg.eval_sampling else None
+            if cfg.eval_sampling and not self.frame_based:
+                # SELF_BUILDING family (cn2/cn3/cn4): its internal
+                # sample_frame / gather_neighbors calls draw from the
+                # "sample" stream — without it eval falls to deterministic
+                # strided resampling + first-k windows, losing the
+                # reference's random-at-eval tstdeg semantics (VERDICT r4
+                # weak #2)
+                rngs = {"sample": key}
         variables = {"params": params["predictor"], "ema": ema, "sched": sched}
         if self.frame_based:
             cn1, cn2, src = cn_frames(
