@@ -36,7 +36,7 @@ DATASET_BASELINES = {"collab": A100_REF_EDGES_PER_S}
 _VARIANT_ENVS = (
     "OCN_BENCH_SCALE", "OCN_BENCH_BATCH", "OCN_BENCH_CHUNK", "OCN_BENCH_HOIST",
     "OCN_BENCH_GROUP", "OCN_BENCH_PREDICTOR", "OCN_BENCH_DATASET",
-    "OCN_BENCH_KSMALL", "OCN_BENCH_KNEG", "OCN_BENCH_K2DST",
+    "OCN_BENCH_KSMALL", "OCN_BENCH_K2DST",
     "OCN_BENCH_WINDOW", "OCN_BENCH_DTYPE", "OCN_BENCH_ELL",
     "OCN_BENCH_ADJ2CAP", "OCN_BENCH_REORDER", "OCN_BENCH_RECK",
     "OCN_BENCH_PREEDP",
@@ -139,7 +139,6 @@ def measure(defaults: bool = False):
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, hoist_frames=hoist,
         frame_group=group,
         k_small=int(env("OCN_BENCH_KSMALL", "16")),
-        k_neg=int(env("OCN_BENCH_KNEG", "0")),
         pad_deg2_dst=int(env("OCN_BENCH_K2DST", "0")),
         window_table=env("OCN_BENCH_WINDOW", "0") == "1",
         dtype=env("OCN_BENCH_DTYPE", "bfloat16"),

@@ -159,14 +159,6 @@ class Config:
                                      # edge source-degree distribution
     small_frac_neg: float = -1.0     # same for negative chunks; < 0 = auto
                                      # from the node-degree distribution
-    k_neg: int = 0                   # separate frame width for the NEGATIVE
-                                     # small body (third scan body): uniform
-                                     # negatives are degree-distributed like
-                                     # the node population (86% of collab
-                                     # nodes have deg <= 8 vs 39% of train-
-                                     # edge sources), so negatives fit a far
-                                     # narrower frame than positives.
-                                     # 0 = negatives share k_small's body.
     ell_tables: bool = True          # ELL window-table gathers (sparse/
                                      # ell.py): per-node neighbor windows
                                      # frozen per refresh in (N, K) row-
@@ -401,7 +393,7 @@ _TPU_OVERLAY_FIELDS = frozenset({
     "pad_deg", "pad_deg2", "pad_deg2_dst", "count2_chunk", "two_hop_mode",
     "hoist_frames", "frame_group", "adj2_cap", "adj3_cap", "k3",
     "window_table",
-    "reorder", "k_small", "small_frac", "small_frac_neg", "k_neg",
+    "reorder", "k_small", "small_frac", "small_frac_neg",
     "ell_tables", "ell_refresh", "ell_eval", "rec_k", "lane_dropadj",
     "dual_k_eval",
     "eval_sampling", "sort_batch", "dtype", "graph_sharding", "dp_devices",

@@ -253,7 +253,6 @@ class Trainer:
         c = self._chunk()
         nchunk = cfg.batch_size // c
         deg = self._deg_np
-        k_neg = cfg.k_neg if 0 < cfg.k_neg < cfg.pad_deg else 0
         if cfg.small_frac >= 0:
             fp = cfg.small_frac
         else:
@@ -261,28 +260,22 @@ class Trainer:
         if cfg.small_frac_neg >= 0:
             fneg = cfg.small_frac_neg
         elif cfg.neg_mode == "randint_target":
-            # negatives keep the positive sources; when a narrower k_neg body
-            # is active, size it by the sources that actually FIT k_neg —
-            # sizing by the k_small fraction would route sources with degree
-            # in (k_neg, k_small] into the narrow body and cap them extra
-            fneg = fp if not k_neg else float(
-                np.mean(deg[self.train_edges[0]] <= k_neg))
+            # negatives keep the positive sources
+            fneg = fp
         else:
-            fneg = float(np.mean(deg <= (k_neg or cfg.k_small)))
+            fneg = float(np.mean(deg <= cfg.k_small))
         nsp = min(nchunk, int(fp * nchunk))
         nsn = min(nchunk, int(fneg * nchunk))
         if cfg.graph_sharding == "node" and cfg.dp_devices * cfg.tp_devices > 1:
             # gate on the same condition that creates self.mesh
             # (_build_steps): with graph_sharding="node" but a 1-device
             # config the REPLICATED path runs, and skipping the replicated
-            # branch below would leave frame_group unaligned and k_neg
-            # silently ignored (round-3 advisor finding)
+            # branch below would leave frame_group unaligned (round-3
+            # advisor finding)
             # round-robin chunk->device interleave (prepare_batch): each
             # device must hold exactly nsp/ndev small + nbp/ndev big chunks,
             # so round each side DOWN to a multiple of ndev (shrinking only
             # moves low-degree edges to the big body — no extra capping).
-            # k_neg's third body is out of the sharded path's scope (it
-            # measured ~-2% on the replicated path anyway, BENCH_NOTES).
             ndev = max(cfg.dp_devices, 1)
             nsp -= nsp % ndev
             nsn -= nsn % ndev
@@ -290,20 +283,17 @@ class Trainer:
                 return None
             return nsp, nsn
         grp = cfg.frame_group if cfg.frame_group > 1 else 1
-        if k_neg and k_neg != cfg.k_small:
-            # separate neg body (third scan body): each body picks its own
-            # effective group (largest divisor of its chunk count <= grp) at
-            # call time, so no chunks are demoted to the big body
-            pass
-        else:
-            # both sides share the k_small body; only the combined count
-            # needs whole groups — shrinking moves edges to the big body
-            # (safe: no extra capping)
-            while nsp + nsn > 0 and (nsp + nsn) % grp:
-                if nsn >= nsp and nsn > 0:
-                    nsn -= 1
-                else:
-                    nsp -= 1
+        # both sides share the k_small body; only the combined count needs
+        # whole groups — shrinking moves edges to the big body (safe: no
+        # extra capping).  (A separate narrower NEGATIVE body existed as a
+        # third scan body through round 4; it measured ~-2% e2e — the small
+        # body is B-scaled-floor-bound, not K-scaled — and was deleted in
+        # round 5.  BENCH_NOTES 2026-08-19 has the numbers.)
+        while nsp + nsn > 0 and (nsp + nsn) % grp:
+            if nsn >= nsp and nsn > 0:
+                nsn -= 1
+            else:
+                nsp -= 1
         if nsp + nsn == 0:
             return None
         return nsp, nsn
@@ -828,7 +818,6 @@ class Trainer:
                 nsp, nsn = split
                 nbp, nbn = nchunk - nsp, nchunk - nsn
                 grp = cfg.frame_group if scan_fn is self._scan_scores_grouped else 1
-                k_neg = cfg.k_neg if 0 < cfg.k_neg < cfg.pad_deg else 0
 
                 def eff_grp(n):
                     # largest divisor of the body's chunk count <= frame_group
@@ -838,32 +827,7 @@ class Trainer:
                 ema_c = ema
                 pos_parts, neg_parts = [], []
                 i0 = 0
-                if k_neg and k_neg != cfg.k_small:
-                    # THREE bodies: pos-small at k_small, neg-small at k_neg
-                    # (uniform negatives are much lower-degree than train-edge
-                    # sources), tail at pad_deg.  Each body groups by the
-                    # largest divisor of ITS chunk count <= frame_group, so no
-                    # chunk is ever demoted to the big body for alignment
-                    # (demotion measured -19% e2e, BENCH_NOTES 2026-08-20).
-                    if nsp > 0:
-                        gp = eff_grp(nsp)
-                        out_ps, ema_c = scan_fn(
-                            params, ema_c, state.sched, h, g, posc[:nsp],
-                            jnp.ones((nsp, c), self.dtype), k_lnk, True,
-                            adj2=adj2, corrs=corrs_for(nsp, 0), y=y,
-                            k=cfg.k_small, adj3=adj3, grp=gp)
-                        pos_parts.append(out_ps)
-                        i0 += nsp // gp
-                    if nsn > 0:
-                        gn = eff_grp(nsn)
-                        out_ns, ema_c = scan_fn(
-                            params, ema_c, state.sched, h, g, negc[:nsn],
-                            jnp.ones((nsn, c), self.dtype), k_lnk, True,
-                            i0=i0, adj2=adj2, corrs=corrs_for(0, nsn), y=y,
-                            k=k_neg, adj3=adj3, grp=gn)
-                        neg_parts.append(out_ns)
-                        i0 += nsn // gn
-                elif nsp + nsn > 0:
+                if nsp + nsn > 0:
                     small = jnp.concatenate([posc[:nsp], negc[:nsn]], axis=0)
                     out_s, ema_c = scan_fn(
                         params, ema_c, state.sched, h, g, small,

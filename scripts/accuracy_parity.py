@@ -127,11 +127,9 @@ def variant_overrides(name: str, max_deg: int) -> dict:
                       adj2_cap=1024, linkbatchsize=256, ell_tables=False),
         "lb256_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                           adj2_cap=1024, linkbatchsize=256, k_small=16, ell_tables=False),
-        # + k_neg third body (negative small chunks at K=8) — A/B against
-        # lb256_k16: isolates the extra capping of deg in (8, 16] negatives
-        "lb256_k16n8": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
-                            adj2_cap=1024, linkbatchsize=256, k_small=16,
-                            k_neg=8, ell_tables=False),
+        # (the k_neg third-body variant lb256_k16n8 was retired with the
+        # feature in round 5; its accuracy-neutral result is recorded in
+        # BASELINE.md round 2)
         "lb128": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                       adj2_cap=1024, linkbatchsize=128, ell_tables=False),
         "lb128_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",

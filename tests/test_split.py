@@ -246,53 +246,6 @@ def test_split_requires_prepared_inputs():
             jax.random.PRNGKey(0))
 
 
-def test_three_body_k_neg_matches_uncapped_oracle():
-    """k_neg third body (pos-small at k_small, neg-small at k_neg, tail at
-    pad_deg): with every width above the max degree nothing is capped, so
-    the three-body step must reproduce the unsplit loss exactly (simple loss:
-    order-invariant within each side)."""
-    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
-    nodrop = dict(
-        gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0, predp=0.0, preedp=0.0,
-        batch_size=256, testbs=256, linkbatchsize=64, pad_deg2=160,
-        losstrick="simple",
-    )
-    # maxdeg = 37: k_small=40 and k_neg=38 leave both small bodies uncapped
-    tr_a = Trainer(
-        _cfg(k_small=40, k_neg=38, pad_deg=64, small_frac=0.5,
-             small_frac_neg=0.5, **nodrop), ds)
-    tr_b = Trainer(_cfg(pad_deg=64, **nodrop), ds)
-    assert tr_a._split == (2, 2)
-
-    rng = np.random.default_rng(3)
-    pos_b, neg_b, idx = _batch(tr_a, ds, rng)
-    pe, ne, mp, inv_p, inv_n = tr_a.prepare_batch(pos_b, neg_b, idx)
-    key = jax.random.PRNGKey(11)
-    _, loss_a = tr_a.train_step(
-        tr_a.init_state(0), pe, ne, mp, key, inv_p, inv_n)
-    _, loss_b = tr_b.train_step(tr_b.init_state(0), pe, ne, mp, key)
-    np.testing.assert_allclose(
-        np.asarray(loss_a), np.asarray(loss_b), rtol=1e-4)
-
-
-@pytest.mark.parametrize("group", [1, 2])
-def test_three_body_training_runs(group):
-    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
-    cfg = _cfg(k_small=8, k_neg=4, pad_deg=16, frame_group=group, epochs=2)
-    tr = Trainer(cfg, ds)
-    assert tr._split is not None
-    # no grp-alignment rounding: each body picks its own effective group at
-    # call time (chunk demotion to the big body measured -19% e2e)
-    state = tr.init_state(0)
-    rng = np.random.default_rng(0)
-    for epoch in range(2):
-        state, loss = tr.train_epoch(state, rng, epoch)
-        assert np.isfinite(loss)
-    res = tr.evaluate(state)
-    for k, v in res.items():
-        assert all(np.isfinite(x) for x in v)
-
-
 def test_dual_k_eval_uses_scored_graph_degree():
     """Round-3 advisor finding: under use_valedges_as_input the test split is
     scored against full_g (train+valid edges), where a source's degree can
@@ -343,10 +296,10 @@ def test_dual_k_eval_uses_scored_graph_degree():
 def test_split_plan_node_sharding_dp1_falls_back_to_replicated():
     """Round-3 advisor finding: with graph_sharding='node' but dp_devices=1
     no mesh is built and the REPLICATED train path runs, so _split_plan must
-    produce the replicated plan (frame_group alignment, k_neg handling) —
-    not the node-sharded rounding."""
+    produce the replicated plan (frame_group alignment) — not the
+    node-sharded rounding."""
     ds = synthetic_dataset("Cora", seed=0, scale=0.2)
-    kw = dict(k_small=4, pad_deg=8, pad_deg2=8, frame_group=3, k_neg=2)
+    kw = dict(k_small=4, pad_deg=8, pad_deg2=8, frame_group=3)
     tr_node = Trainer(_cfg(graph_sharding="node", dp_devices=1, **kw), ds)
     tr_repl = Trainer(_cfg(**kw), ds)
     assert tr_node.mesh is None
