@@ -401,7 +401,7 @@ class Trainer:
                     with_src=True,
                 )
                 cn3 = cn3_frame(
-                    self.g, ei0, src, k2=self._k3_width(), k3=16,
+                    self.g, ei0, src, k2=self._k3_width(), k3=self._k3_width(),
                     counts=cfg.cn2_counts, adj3=self.adj3,
                 )
                 pred_vars = self.predictor.init(
@@ -504,7 +504,7 @@ class Trainer:
 
                 # cn3 shares the SAME candidate frame (src) as cn1/cn2
                 cn3 = cn3_frame(
-                    g, edges, src, k2=self._k3_width(), k3=16,
+                    g, edges, src, k2=self._k3_width(), k3=self._k3_width(),
                     counts=cfg.cn2_counts,
                     adj3=adj3 if adj2 is not None else None,
                     gather_fn=gather_fn,

@@ -127,6 +127,30 @@ def variant_overrides(name: str, max_deg: int) -> dict:
                       adj2_cap=1024, linkbatchsize=256, ell_tables=False),
         "lb256_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                           adj2_cap=1024, linkbatchsize=256, k_small=16, ell_tables=False),
+        # --- cn6 estimator-chain study (round 5, VERDICT r4 item 1): the
+        # production cn6 stacks FOUR approximations with (until now) no
+        # accuracy evidence: host A^3 value-thresholded at adj3_cap, the
+        # k3=16 row-gather width, tbl3 frozen ELL windows, and no maskinput
+        # treatment of A^3.  x3_exact runs the on-the-fly cubic fallback
+        # (two_hop_mode="sddmm" leaves adj2/adj3 unbuilt) at widths above
+        # the max degree — exact on the masked adjacency.  The rest mirror
+        # the ppa adj2_cap study: the full production chain, then arms
+        # isolating each knob.
+        "x3_exact": dict(pad_deg=pad_exact, pad_deg2=pad_exact,
+                         two_hop_mode="sddmm", k3=pad_exact,
+                         ell_tables=False),
+        "x3_prod": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                        adj2_cap=1024, adj3_cap=256, ell_tables=True),
+        "x3_noell": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                         adj2_cap=1024, adj3_cap=256, ell_tables=False),
+        "x3_cap64": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                         adj2_cap=1024, adj3_cap=64, ell_tables=True),
+        "x3_cap1024": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                           adj2_cap=1024, adj3_cap=1024, ell_tables=True),
+        "x3_k8": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                      adj2_cap=1024, adj3_cap=256, k3=8, ell_tables=True),
+        "x3_k32": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
+                       adj2_cap=1024, adj3_cap=256, k3=32, ell_tables=True),
         # (the k_neg third-body variant lb256_k16n8 was retired with the
         # feature in round 5; its accuracy-neutral result is recorded in
         # BASELINE.md round 2)
@@ -169,7 +193,7 @@ def run_one(graph: str, variant: str, run_i: int, epochs: int,
         "predictor": predictor, "scale": scale,
         "epochs": epochs, "wall_s": round(time.time() - t0, 1),
         "pad_deg": cfg.pad_deg, "two_hop_mode": cfg.two_hop_mode,
-        "k_small": cfg.k_small,
+        "k_small": cfg.k_small, "adj3_cap": cfg.adj3_cap, "k3": cfg.k3,
         "best": {k: [round(x, 5) for x in v] for k, v in best.items()},
     }
 
