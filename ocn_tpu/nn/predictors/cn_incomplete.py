@@ -175,13 +175,17 @@ class IncompleteCNPredictor(nn.Module):
             # --- recursive scoring of potential CN edges (model.py:924-946)
             def score_residual(res: CNFrame, anchor: jax.Array) -> jax.Array:
                 b, r = res.ids.shape
+                # torch.no_grad => stop_gradient, but the module stays in
+                # train mode: dropouts/DropAdj remain active in the recursive
+                # scorer (reference model.py:926-946).  Depth-1 recursion
+                # rides the blocked depth-0 scorer (shared anchor windows).
+                rec_train = training and self.recursion_train_mode
+                if depth - 1 == 0 and self.cndeg <= 0:
+                    return jax.lax.stop_gradient(self._blocked_depth0(
+                        x, g, anchor, res.ids, rec_train, None))
                 cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
                 anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
                 ei = jnp.stack([anchors, cand])
-                # torch.no_grad => stop_gradient, but the module stays in
-                # train mode: dropouts/DropAdj remain active in the recursive
-                # scorer (reference model.py:926-946)
-                rec_train = training and self.recursion_train_mode
                 prob = self(x, g, ei, training=rec_train, depth=depth - 1)
                 return jax.lax.stop_gradient(prob.reshape(b, r))
 
@@ -226,15 +230,20 @@ class IncompleteCNPredictor(nn.Module):
         """Recursive scoring + Bayes-odds clamp of one residual frame
         (model.py:924-957): potential edges (anchor_e, k) scored at depth-1
         under stop_gradient, clamped, and multiplied into the residual
-        weights."""
+        weights.  Depth-1 recursion routes through the blocked depth-0
+        scorer (anchor windows shared across the R candidate copies)."""
         b, r = res.ids.shape
-        cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
-        anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
-        ei = jnp.stack([anchors, cand])
         rec_train = training and self.recursion_train_mode
-        prob = jax.lax.stop_gradient(
-            self(x, g, ei, training=rec_train, depth=depth - 1, adj2=adj2)
-        ).reshape(b, r)
+        if depth - 1 == 0 and self.cndeg <= 0:
+            prob = jax.lax.stop_gradient(
+                self._blocked_depth0(x, g, anchor, res.ids, rec_train, adj2))
+        else:
+            cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
+            anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
+            ei = jnp.stack([anchors, cand])
+            prob = jax.lax.stop_gradient(
+                self(x, g, ei, training=rec_train, depth=depth - 1, adj2=adj2)
+            ).reshape(b, r)
         if self.learnablept:
             pt = nn.sigmoid(self.ptlin2(nn.relu(self.ptlin1(xij))))
         else:
@@ -242,6 +251,114 @@ class IncompleteCNPredictor(nn.Module):
         p0 = jax.nn.sigmoid(self.scale * (prob - self.offset))
         prob = self.alpha2.value * pt * p0 / (pt * p0 + 1 - p0)
         return res.with_values(res.val * prob * res.mask)
+
+    def _blocked_depth0(self, x, g, anchors, cand_ids, training, adj2):
+        """Depth-0 recursive scoring of a (B, R) candidate block, sharing
+        each anchor's neighbor window across its R candidate edges.
+
+        The generic path scores the B*R potential edges (anchor_b,
+        cand_{b,r}) as one flat forward whose src-side window N(anchor) is
+        gathered R times (anchors repeat R-fold): the frame ids, the colnorm
+        id array and the (B*R, K, H) aggregate feature gather — the three
+        dominant costs of a recursion body (scripts/profile_cn3.py: colnorm
+        17.5 ms + matmul 13.6 ms of a 33.6 ms body) — are all R-fold
+        redundant.  This blocked equivalent gathers each anchor window ONCE
+        ((B, K) descriptors instead of (B*R, K)) and carries candidates as a
+        middle axis; column sums pre-reduce over R before the segment-sum
+        (linearity — exact reassociation).
+
+        Parity: with ELL tables (production) the per-node window is frozen,
+        so the shared window IS the window every generic copy would read —
+        identical estimator.  Without ELL, capped anchor rows share one
+        window-offset draw across their R copies (correlation-only
+        deviation, same class as PARITY.md §9).  DropAdj lane masks are
+        drawn at (B, R, K), so per-edge mask independence is preserved
+        exactly.  EMA, Bayes clamp, MLP shapes and the fill=1 quirk mirror
+        the generic depth-0 forward (reference model.py:926-946 recursion,
+        1247-1409 GS).  Gated to cndeg<=0 (sample_frame would desync the
+        shared ids); depth>=2 recursion falls back to the generic path.
+        """
+        det = not training
+        b, r = cand_ids.shape
+        n = g.n_nodes
+        k_frame = self.rec_k or self.k
+        cand = jnp.minimum(cand_ids, n - 1)
+
+        drop_p = self.edrop if (training and self.edrop > 1e-6) else 0.0
+        dk = self.make_rng("dropout") if drop_p > 0 else None
+        lane = drop_p > 0 and self.lane_drop and g.packed is not None
+        if drop_p > 0 and not lane:
+            g = g.drop_edges(dk, drop_p)
+        sample_key = (
+            self.make_rng("sample") if self.has_rng("sample") else None
+        )
+        kk = (jax.random.split(sample_key, 3) if sample_key is not None
+              else [None] * 3)
+
+        xij = self.xijlin(x[anchors][:, None, :] * x[cand], det)
+        x_aug = x + (self.xlin(x, det) if self.use_xlin else 0.0)
+
+        src = gather_neighbors(g, anchors, k_frame, kk[0])
+        srcw = jnp.broadcast_to(src.w[:, None, :], (b, r, k_frame))
+        if lane:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dk, 0), 1.0 - drop_p, (b, r, k_frame))
+            srcw = jnp.where(keep, srcw * (1.0 / (1.0 - drop_p)), 0.0)
+        dstf = gather_neighbors(
+            g, cand.reshape(-1), k_frame, kk[1],
+            drop=None if not lane else (jax.random.fold_in(dk, 1), drop_p))
+        in_dst = _rowwise_membership(
+            src.ids[:, None, :], dstf.ids.reshape(b, r, k_frame),
+            dstf.w.reshape(b, r, k_frame))
+        cn_val = jnp.where(in_dst != 0, srcw, 0.0)  # (B, R, K)
+        xg = x_aug[jnp.minimum(src.ids, n - 1)]     # (B, K, H): ONE gather
+
+        def agg(val):
+            return jnp.einsum(
+                "brk,bkh->brh", val, xg,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+
+        if not self.higher_order:
+            z = self.xcnlin(agg(cn_val), det)
+            return self.head(z * self.beta + xij, det).reshape(b, r)
+
+        a2 = gather_neighbors(adj2, cand.reshape(-1), k_frame, kk[2])
+        in_a2 = _rowwise_membership(
+            src.ids[:, None, :], a2.ids.reshape(b, r, k_frame),
+            a2.w.reshape(b, r, k_frame))
+        cn22_val = jnp.where(in_a2 != 0, srcw, 0.0)
+
+        ids_flat = src.ids.reshape(-1)
+
+        def colsum(val_brk):
+            # pre-reduce over the candidate axis: colsum is linear, and the
+            # R copies of one anchor share their id row
+            pre = val_brk.sum(axis=1).reshape(-1)
+            return jax.ops.segment_sum(pre, ids_flat, num_segments=n + 1)
+
+        s1 = colsum(cn_val)
+        s_rep = jnp.where(s1 == 0, 1.0, s1)
+        inv1 = jnp.where(s_rep != 1, 1.0 / s_rep, 1.0)  # fill=1 quirk
+        ncn1_val = cn_val * inv1[ids_flat].reshape(b, 1, k_frame)
+        ema_v = self.ema.value
+        if training and not self.is_initializing():
+            new_n = self.nvar.value + 1
+            bet = 1.0 / new_n.astype(jnp.float32)
+            ema_v = (1.0 - bet) * self.ema.value + bet * jnp.sum(
+                cn22_val * ncn1_val)
+            self.ema.value = ema_v
+            self.nvar.value = new_n
+        scale = jnp.max(jnp.abs(ncn1_val))
+        nip = jnp.where(scale > 0, ema_v / scale, ema_v)
+        mask_u = (cn22_val != 0) | (ncn1_val != 0)
+        val_o = jnp.where(mask_u, cn22_val - nip * ncn1_val, 0.0)
+        s2 = colsum(val_o)
+        inv2 = 1.0 / jnp.where(s2 == 0, 1.0, s2)
+        ncn22_val = val_o * inv2[ids_flat].reshape(b, 1, k_frame)
+
+        z = (self.xcnlin(agg(ncn1_val), det) * self.beta
+             + self.xcnlin(agg(ncn22_val), det) * self.beta)
+        return self.head(z + xij, det).reshape(b, r)
 
     def _forward_higher_order(
         self,
@@ -293,28 +410,38 @@ class IncompleteCNPredictor(nn.Module):
         x_aug = x + (self.xlin(x, det) if self.use_xlin else 0.0)
         resdeg = self.trainresdeg if training else self.testresdeg
 
-        # 1-hop CN + residuals (src/dst frames)
-        cn, res1, res2 = cn_residual_frames(g, tar_ei, k_frame, kk[0], drop=drop)
-        # 2-hop: candidates vs the A^2 row of j (adj2 takes no DropAdj, like
-        # the value-mutation path which only drops g)
-        src = gather_neighbors(
-            g, tar_ei[0], k_frame, kk[1],
-            drop=None if drop is None else
-            (jax.random.fold_in(drop[0], 2), drop[1]))
+        # 1-hop CN + residuals (src/dst frames).  The 2-hop frames are built
+        # on the SAME src window (with_src) rather than a second independent
+        # gather (pre-round-5): with one id array per src-side frame the
+        # Gram-Schmidt `cn22 - nip*ncn1` is lane-aligned (== column-aligned,
+        # the reference's union semantics, model.py:1247-1409) even on
+        # capped rows — the old two-gather layout misaligned lanes whenever
+        # caps bound — and one frame_index powers both colnorms plus a
+        # single shared (B,K,H) matmul gather.  Deviation note: the 1-hop
+        # and 2-hop candidate SAMPLES are now correlated (the reference
+        # samples per adjoverlap call); correlation-only, PARITY.md.
+        cn, res1, res2, srcf = cn_residual_frames(
+            g, tar_ei, k_frame, kk[0], drop=drop, with_src=True)
+        # candidates vs the A^2 row of j (adj2 takes no DropAdj, like the
+        # value-mutation path which only drops g)
         a2row = gather_neighbors(adj2, tar_ei[1], k_frame, kk[2])
-        in_a2 = _rowwise_membership(src.ids, a2row.ids, a2row.w)
-        in_src = _rowwise_membership(a2row.ids, src.ids, src.w)
-        cn22 = CNFrame(src.ids, jnp.where(in_a2 != 0, src.w, 0.0), g.n_nodes)
-        cn2res1 = CNFrame(src.ids, jnp.where(in_a2 == 0, src.w, 0.0), g.n_nodes)
+        in_a2 = _rowwise_membership(srcf.ids, a2row.ids, a2row.w)
+        in_src = _rowwise_membership(a2row.ids, srcf.ids, srcf.w)
+        cn22 = CNFrame(srcf.ids, jnp.where(in_a2 != 0, srcf.w, 0.0), g.n_nodes)
+        cn2res1 = CNFrame(srcf.ids, jnp.where(in_a2 == 0, srcf.w, 0.0), g.n_nodes)
         cn2res2 = CNFrame(
             a2row.ids, jnp.where(in_src == 0, (a2row.w != 0) * 1.0, 0.0), g.n_nodes
         )
+        share_src = self.cndeg <= 0
         if self.cndeg > 0:
             cn = sample_frame(cn, self.cndeg, kk[3])
             cn22 = sample_frame(cn22, self.cndeg, kk[3])
 
         # ncn1 with fill=1 (model.py:1253), EMA + Gram-Schmidt of cn22
-        ncn1 = colnorm_quirk(cn, 1.0)
+        from ocn_tpu.ops.frame import frame_index, matmul_shared
+
+        fidx_s = frame_index(srcf.ids, g.n_nodes) if share_src else None
+        ncn1 = colnorm_quirk(cn, 1.0, fidx_s)
         if training and not self.is_initializing():
             new_n = self.nvar.value + 1
             b = 1.0 / new_n.astype(jnp.float32)
@@ -324,10 +451,14 @@ class IncompleteCNPredictor(nn.Module):
         scale = jnp.max(jnp.abs(ncn1.val))
         nip = jnp.where(scale > 0, inner / scale, inner)
         ncn22 = colnorm_plain(cn22.with_values(
-            jnp.where(cn22.mask | ncn1.mask, cn22.val - nip * ncn1.val, 0.0)))
+            jnp.where(cn22.mask | ncn1.mask, cn22.val - nip * ncn1.val, 0.0)),
+            fidx_s)
 
-        xcn_1 = ncn1.matmul(x_aug)
-        xcn_2 = ncn22.matmul(x_aug)
+        if share_src:
+            xcn_1, xcn_2 = matmul_shared([ncn1, ncn22], x_aug, fidx_s)
+        else:
+            xcn_1 = ncn1.matmul(x_aug)
+            xcn_2 = ncn22.matmul(x_aug)
 
         if depth > 0:
             if resdeg > 0:

@@ -997,7 +997,8 @@ def cn_residual_frames(
     k: int,
     key: Optional[jax.Array] = None,
     drop: Optional[Tuple[jax.Array, float]] = None,
-) -> Tuple[CNFrame, CNFrame, CNFrame]:
+    with_src: bool = False,
+):
     """CN set plus both residual sets for the incomplete-CN predictors.
 
     Reference `adjoverlap(adj, adj, tar_ei, calresadj=True)` ->
@@ -1007,6 +1008,11 @@ def cn_residual_frames(
         res2 = N(j) \\ N(i)      (dst frame)
     The two residual patterns are provably disjoint as (B, n_nodes) sparse
     matrices, which the incomplete predictors' union/Hadamard steps rely on.
+
+    ``with_src`` also returns the raw src NeighborFrame (same ids as
+    cn/res1) — the cn3 predictor builds its 2-hop frames on it so every
+    src-side frame of one forward shares ONE id array (lane-aligned
+    Gram-Schmidt + one shared frame_index/matmul gather).
     """
     keys = jax.random.split(key, 2) if key is not None else (None, None)
     # lane-mask DropAdj (see gather_neighbors): each direction of the
@@ -1022,5 +1028,7 @@ def cn_residual_frames(
     cn = CNFrame(src.ids, jnp.where(in_dst != 0, src.w, 0.0), g.n_nodes)
     res1 = CNFrame(src.ids, jnp.where(in_dst == 0, src.w, 0.0), g.n_nodes)
     res2 = CNFrame(dst.ids, jnp.where(in_src == 0, dst.w, 0.0), g.n_nodes)
+    if with_src:
+        return cn, res1, res2, src
     return cn, res1, res2
 

@@ -96,9 +96,9 @@ def main():
     Br = C * RESDEG
     redges = jnp.asarray(rng.integers(0, N, size=(2, Br)), jnp.int32)
 
-    def apply_chunk(e, depth):
+    def apply_chunk(hh, e, depth):
         out, _ = tr.predictor.apply(
-            variables, h0, g, e, True, rngs=rngs, mutable=["ema"],
+            variables, hh, g, e, True, rngs=rngs, mutable=["ema"],
             depth=depth, adj2=adj2)
         return out
 
@@ -107,7 +107,7 @@ def main():
             e = jnp.minimum(edges + s.astype(jnp.int32), N - 1)
 
             def loss(hh):
-                return (apply_chunk(e, depth).astype(jnp.float32) ** 2).sum()
+                return (apply_chunk(hh, e, depth).astype(jnp.float32) ** 2).sum()
 
             return jax.grad(loss)(h0).ravel()[0].astype(jnp.float32) * 1e-30
 
@@ -115,11 +115,31 @@ def main():
 
     def rec_fwd(s):
         e = jnp.minimum(redges + s.astype(jnp.int32), N - 1)
-        out = jax.lax.stop_gradient(apply_chunk(e, 0))
+        out = jax.lax.stop_gradient(apply_chunk(h0, e, 0))
         return out.astype(jnp.float32).ravel()[0] * 1e-30
 
     t_rec = chained(rec_fwd)
     print(f"{'rec_fwd (x4/chunk)':18s} {t_rec:8.2f} ms   (4x = {4*t_rec:.2f})",
+          flush=True)
+
+    # blocked depth-0 body (round 5): shared anchor windows, (C, RESDEG)
+    from ocn_tpu.nn.predictors.cn_incomplete import IncompleteCNPredictor
+
+    anchors0 = edges[1]
+    cands0 = jnp.asarray(
+        rng.integers(0, N, size=(C, RESDEG)), jnp.int32)
+
+    def rec_blocked(s):
+        a = jnp.minimum(anchors0 + s.astype(jnp.int32), N - 1)
+        out, _ = tr.predictor.apply(
+            variables, h0, g, a, cands0, True, adj2,
+            method=IncompleteCNPredictor._blocked_depth0,
+            rngs=rngs, mutable=["ema"])
+        return jax.lax.stop_gradient(out).astype(
+            jnp.float32).ravel()[0] * 1e-30
+
+    t_blk = chained(rec_blocked)
+    print(f"{'rec_blocked':18s} {t_blk:8.2f} ms   (4x = {4*t_blk:.2f})",
           flush=True)
 
     # ---- components of the recursive body ---------------------------------
@@ -189,16 +209,19 @@ def main():
     print(f"{'rec_matmul_shared':18s} {chained(rec_matmul_shared):8.2f} ms",
           flush=True)
 
-    # MLP tail: xcnlin on both planes + xijlin + head at (Br, H)
+    # MLP tail: xcnlin on both planes + xijlin + head at (Br, H) — mirror
+    # the TRAINER-built predictor's module flags so params line up
     xcn = jnp.asarray(rng.standard_normal((Br, H)), tr.dtype)
     p = state.params["predictor"]
+    pred = tr.predictor
 
     def rec_mlps(s):
         z = xcn + s.astype(xcn.dtype) * 1e-30
         from ocn_tpu.nn.mlp import CNAggMLP, HeadMLP, XijMLP
-        xcnlin = CNAggMLP(H, cfg.predp, cfg.ln, False)
-        xijlin = XijMLP(H, cfg.predp, cfg.ln, cfg.tailact)
-        head = HeadMLP(H, 1, cfg.predp, cfg.ln, cfg.twolayerlin)
+        xcnlin = CNAggMLP(pred.hidden, pred.dropout, pred.ln, False)
+        xijlin = XijMLP(pred.hidden, pred.dropout, pred.ln, pred.tailact)
+        head = HeadMLP(pred.hidden, 1, pred.dropout, pred.ln,
+                       pred.twolayerlin)
         a = xcnlin.apply({"params": p["xcnlin"]}, z, False,
                          rngs={"dropout": key})
         b = xcnlin.apply({"params": p["xcnlin"]}, z * 0.5, False,
