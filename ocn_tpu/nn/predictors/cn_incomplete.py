@@ -122,10 +122,15 @@ class IncompleteCNPredictor(nn.Module):
         training: bool = False,
         depth: Optional[int] = None,
         adj2: Optional[Graph] = None,
+        k: Optional[int] = None,
     ) -> jax.Array:
+        """``k``: outer candidate-frame width override (dual-K occupancy
+        split routes low-degree chunks here at k_small); recursion depth
+        keeps rec_k regardless."""
         if self.higher_order:
-            return self._forward_higher_order(x, g, tar_ei, training, depth, adj2)
-        return self._forward_1hop(x, g, tar_ei, training, depth)
+            return self._forward_higher_order(
+                x, g, tar_ei, training, depth, adj2, k)
+        return self._forward_1hop(x, g, tar_ei, training, depth, k)
 
     def _forward_1hop(
         self,
@@ -134,11 +139,12 @@ class IncompleteCNPredictor(nn.Module):
         tar_ei: jax.Array,
         training: bool = False,
         depth: Optional[int] = None,
+        k: Optional[int] = None,
     ) -> jax.Array:
         depth = self.depth if depth is None else depth
         det = not training
         # recursive calls (depth < self.depth) may run at a narrower frame
-        k_frame = self.k if depth == self.depth else (self.rec_k or self.k)
+        k_frame = (k or self.k) if depth == self.depth else (self.rec_k or self.k)
 
         drop = None
         if training and self.edrop > 1e-6:
@@ -182,7 +188,8 @@ class IncompleteCNPredictor(nn.Module):
                 rec_train = training and self.recursion_train_mode
                 if depth - 1 == 0 and self.cndeg <= 0:
                     return jax.lax.stop_gradient(self._blocked_depth0(
-                        x, g, anchor, res.ids, rec_train, None))
+                        x, g, anchor, res.ids, rec_train, None,
+                        valid=res.mask))
                 cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
                 anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
                 ei = jnp.stack([anchors, cand])
@@ -236,7 +243,8 @@ class IncompleteCNPredictor(nn.Module):
         rec_train = training and self.recursion_train_mode
         if depth - 1 == 0 and self.cndeg <= 0:
             prob = jax.lax.stop_gradient(
-                self._blocked_depth0(x, g, anchor, res.ids, rec_train, adj2))
+                self._blocked_depth0(x, g, anchor, res.ids, rec_train, adj2,
+                                     valid=res.mask))
         else:
             cand = jnp.minimum(res.ids, g.n_nodes - 1).reshape(-1)
             anchors = jnp.broadcast_to(anchor[:, None], (b, r)).reshape(-1)
@@ -252,7 +260,8 @@ class IncompleteCNPredictor(nn.Module):
         prob = self.alpha2.value * pt * p0 / (pt * p0 + 1 - p0)
         return res.with_values(res.val * prob * res.mask)
 
-    def _blocked_depth0(self, x, g, anchors, cand_ids, training, adj2):
+    def _blocked_depth0(self, x, g, anchors, cand_ids, training, adj2,
+                        valid=None):
         """Depth-0 recursive scoring of a (B, R) candidate block, sharing
         each anchor's neighbor window across its R candidate edges.
 
@@ -311,6 +320,13 @@ class IncompleteCNPredictor(nn.Module):
             src.ids[:, None, :], dstf.ids.reshape(b, r, k_frame),
             dstf.w.reshape(b, r, k_frame))
         cn_val = jnp.where(in_dst != 0, srcw, 0.0)  # (B, R, K)
+        if valid is not None:
+            # exclude PADDED candidate rows from the recursive call's
+            # cross-row state (colsums / EMA / scale): the reference scores
+            # exactly the real candidates; phantom sentinel edges must not
+            # pollute the shared buffers.  Their per-row scores are masked
+            # by the caller either way.
+            cn_val = cn_val * valid[:, :, None]
         xg = x_aug[jnp.minimum(src.ids, n - 1)]     # (B, K, H): ONE gather
 
         def agg(val):
@@ -327,6 +343,8 @@ class IncompleteCNPredictor(nn.Module):
             src.ids[:, None, :], a2.ids.reshape(b, r, k_frame),
             a2.w.reshape(b, r, k_frame))
         cn22_val = jnp.where(in_a2 != 0, srcw, 0.0)
+        if valid is not None:
+            cn22_val = cn22_val * valid[:, :, None]
 
         ids_flat = src.ids.reshape(-1)
 
@@ -368,6 +386,7 @@ class IncompleteCNPredictor(nn.Module):
         training: bool = False,
         depth: Optional[int] = None,
         adj2: Optional[Graph] = None,
+        k: Optional[int] = None,
     ) -> jax.Array:
         """cn3 (reference IncompleteCN1Predictorhighorder, model.py:1150-1522).
 
@@ -386,7 +405,7 @@ class IncompleteCNPredictor(nn.Module):
         assert adj2 is not None, "cn3 requires the precomputed A^2 graph"
         depth = self.depth if depth is None else depth
         det = not training
-        k_frame = self.k if depth == self.depth else (self.rec_k or self.k)
+        k_frame = (k or self.k) if depth == self.depth else (self.rec_k or self.k)
 
         drop = None
         if training and self.edrop > 1e-6:
@@ -423,8 +442,13 @@ class IncompleteCNPredictor(nn.Module):
         cn, res1, res2, srcf = cn_residual_frames(
             g, tar_ei, k_frame, kk[0], drop=drop, with_src=True)
         # candidates vs the A^2 row of j (adj2 takes no DropAdj, like the
-        # value-mutation path which only drops g)
-        a2row = gather_neighbors(adj2, tar_ei[1], k_frame, kk[2])
+        # value-mutation path which only drops g).  The A^2 row keeps the
+        # FULL width at the outer depth even under a dual-K `k` override:
+        # A^2 rows are fat regardless of the source's 1-hop degree, so
+        # narrowing them with the small body would cap the 2-hop candidate
+        # set extra (cn5's split keeps k2=pad_deg2 for the same reason).
+        k_a2 = (self.k if depth == self.depth else k_frame)
+        a2row = gather_neighbors(adj2, tar_ei[1], k_a2, kk[2])
         in_a2 = _rowwise_membership(srcf.ids, a2row.ids, a2row.w)
         in_src = _rowwise_membership(a2row.ids, srcf.ids, srcf.w)
         cn22 = CNFrame(srcf.ids, jnp.where(in_a2 != 0, srcf.w, 0.0), g.n_nodes)

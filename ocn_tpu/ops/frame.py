@@ -258,11 +258,18 @@ def _rowwise_membership(
         # the VPU); reducing over the lane dim costs cross-lane shuffles
         eq = sorted_ids[..., :, None] == query_ids[..., None, :]
         return jnp.sum(jnp.where(eq, sorted_w[..., :, None], 0.0), axis=-2)
-    idx = jax.vmap(jnp.searchsorted)(sorted_ids, query_ids)
-    idx = jnp.minimum(idx, sorted_ids.shape[-1] - 1)
-    hit = jnp.take_along_axis(sorted_ids, idx, axis=-1) == query_ids
-    wq = jnp.take_along_axis(sorted_w, idx, axis=-1)
-    return jnp.where(hit, wq, 0.0)
+    # binary-search path: flatten any leading batch dims to (rows, K) —
+    # the blocked recursion scorer passes (B, R, K) (query broadcast over
+    # the candidate axis)
+    lead = jnp.broadcast_shapes(query_ids.shape[:-1], sorted_ids.shape[:-1])
+    q = jnp.broadcast_to(query_ids, lead + (kq,)).reshape(-1, kq)
+    si = jnp.broadcast_to(sorted_ids, lead + (ks,)).reshape(-1, ks)
+    sw = jnp.broadcast_to(sorted_w, lead + (ks,)).reshape(-1, ks)
+    idx = jax.vmap(jnp.searchsorted)(si, q)
+    idx = jnp.minimum(idx, ks - 1)
+    hit = jnp.take_along_axis(si, idx, axis=-1) == q
+    wq = jnp.take_along_axis(sw, idx, axis=-1)
+    return jnp.where(hit, wq, 0.0).reshape(lead + (kq,))
 
 
 @jax.tree_util.register_pytree_node_class

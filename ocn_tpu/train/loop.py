@@ -34,7 +34,8 @@ import optax
 from ocn_tpu.config import Config
 from ocn_tpu.data.loaders import LinkDataset
 from ocn_tpu.nn.encoder import GCNEncoder
-from ocn_tpu.nn.predictors import FRAME_BASED, THREE_HOP, build_predictor
+from ocn_tpu.nn.predictors import (
+    FRAME_BASED, SELF_BUILDING, THREE_HOP, build_predictor)
 from ocn_tpu.ops.frame import cn_frames
 from ocn_tpu.sparse import build as B
 from ocn_tpu.sparse.csr import Graph
@@ -136,8 +137,6 @@ class Trainer:
         # only — eval keeps the key-sampled / deterministic CSR window path.
         self._ell = None
         self._indptr_np = np.asarray(self.g.indptr)
-        from ocn_tpu.nn.predictors import SELF_BUILDING
-
         # frame-based predictors need both tables; the self-building family
         # (cn2/cn3/cn4) gathers from g internally — round 3 attaches the g
         # table (+ A^2 table for cn3) there too, so the recursion's huge
@@ -243,12 +242,21 @@ class Trainer:
         if (
             cfg.k_small <= 0
             or cfg.k_small >= cfg.pad_deg
-            or not self.frame_based
+            or not (self.frame_based or cfg.predictor in SELF_BUILDING)
             or cfg.hoist_frames
+            or (cfg.predictor in SELF_BUILDING
+                and cfg.graph_sharding == "node"
+                and cfg.dp_devices * cfg.tp_devices > 1)
         ):
             # THREE_HOP (cn6) joined the split in round 4 (VERDICT r3 item
             # 2): cn3_frame shares the src candidate frame, so the small
-            # body just carries the third value plane at width k_small
+            # body just carries the third value plane at width k_small.
+            # The SELF_BUILDING family (cn2/cn3/cn4) joined in round 5:
+            # the outer forward takes a per-call width override (`k`), so
+            # low-degree chunks run their whole outer frame build at
+            # k_small — the recursion keeps rec_k either way.  (The
+            # node-sharded step builder covers frame-based predictors
+            # only, so the family stays unsplit there.)
             return None
         c = self._chunk()
         nchunk = cfg.batch_size // c
@@ -522,7 +530,7 @@ class Trainer:
         else:
             out, upd = self.predictor.apply(
                 variables, h, g, edges, training,
-                rngs=rngs, mutable=["ema"], adj2=adj2,
+                rngs=rngs, mutable=["ema"], adj2=adj2, k=k,
             )
         return out.reshape(-1), upd.get("ema", ema)
 
@@ -1219,7 +1227,7 @@ class Trainer:
         n = edges.shape[0]
         use_dual = (
             cfg.dual_k_eval and 0 < cfg.k_small < cfg.pad_deg
-            and self.frame_based
+            and (self.frame_based or cfg.predictor in SELF_BUILDING)
             and n > cfg.testbs
         )
         if not use_dual:
@@ -1236,7 +1244,14 @@ class Trainer:
         # once valid edges are added must NOT be routed to the small body —
         # that would cap and reweight it at width k_small, contradicting the
         # "only exact-fit edges go small" invariant (round-3 advisor finding)
-        deg = self._graph_deg_np(g)[edges[:, 0]]
+        gdeg = self._graph_deg_np(g)
+        if cfg.predictor in SELF_BUILDING:
+            # the family's outer width caps BOTH endpoint windows (its
+            # k_frame covers src and dst gathers, unlike cn5's separate
+            # k/k2), so the exact-fit invariant needs max of both degrees
+            deg = np.maximum(gdeg[edges[:, 0]], gdeg[edges[:, 1]])
+        else:
+            deg = gdeg[edges[:, 0]]
         sp = np.argsort(deg, kind="stable")
         split_at = (int(np.sum(deg <= cfg.k_small)) // cfg.testbs) * cfg.testbs
         se = edges[sp]

@@ -351,3 +351,67 @@ def test_cn6_dual_k_eval_runs():
         assert all(np.isfinite(v) for v in r_on[k])
         np.testing.assert_allclose(r_on[k], r_off[k], atol=0.12,
                                    err_msg=f"{k}: {r_on[k]} vs {r_off[k]}")
+
+
+def test_family_split_mixed_bodies_match_uncapped_oracle():
+    """Round 5: the dual-K split covers the SELF_BUILDING family (cn2/cn3)
+    via the per-call outer-width override.  Same exactness contract as the
+    cn5/cn6 mixed-bodies tests: with every width above every degree (and
+    resdeg above every residual count, so sample_frame never draws) the
+    split is a pure padding change and the loss matches the unsplit
+    trainer."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    # trndeg/tstdeg above the max A^2 row degree (142 on this graph) so
+    # sample_frame never DRAWS — capped draws would consume chunk keys that
+    # differ between the split and unsplit programs (i0 offsets)
+    for pred, extra in (("cn2", {}), ("cn3", {"pad_deg2": 64})):
+        nodrop = dict(
+            predictor=pred, gnndp=0.0, xdp=0.0, tdp=0.0, gnnedp=0.0,
+            predp=0.0, preedp=0.0, batch_size=256, testbs=256,
+            linkbatchsize=64, losstrick="simple", depth=1,
+            trndeg=160, tstdeg=160, adj2_cap=4096, **extra,
+        )
+        # maxdeg = 37 (scale 0.2): k_small=40 leaves the small body uncapped;
+        # cn3's a2row rides self.k=pad_deg in BOTH bodies (full-width pin)
+        tr_a = Trainer(
+            _cfg(k_small=40, pad_deg=256, small_frac=0.5,
+                 small_frac_neg=0.5, **nodrop), ds)
+        tr_b = Trainer(_cfg(pad_deg=256, **nodrop), ds)
+        assert tr_a._split == (2, 2), (pred, tr_a._split)
+        assert tr_b._split is None
+
+        rng = np.random.default_rng(3)
+        pos_b, neg_b, idx = _batch(tr_a, ds, rng)
+        pe, ne, mp, inv_p, inv_n = tr_a.prepare_batch(pos_b, neg_b, idx)
+        key = jax.random.PRNGKey(11)
+        _, loss_a = tr_a.train_step(
+            tr_a.init_state(0), pe, ne, mp, key, inv_p, inv_n)
+        # baseline consumes the SAME sorted arrays without the split
+        # machinery (chunk composition fixes the column-sum granularity;
+        # "simple" loss is order-invariant per side).  rtol: the two widths
+        # reassociate the same real entries' f32 segment sums differently
+        # (padding lanes change the sorted grouping), and the Bayes clamp's
+        # sigmoid(5*(prob-3)) amplifies that — measured residue ~2e-4.
+        _, loss_b = tr_b.train_step(tr_b.init_state(0), pe, ne, mp, key)
+        np.testing.assert_allclose(
+            np.asarray(loss_a), np.asarray(loss_b), rtol=1e-3,
+            err_msg=pred)
+
+
+def test_family_split_trains_and_evaluates():
+    """cn3 + dual-K (auto fracs, caps binding): finite losses, finite eval
+    through the dual-K eval router (max-endpoint-degree routing)."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.2)
+    cfg = _cfg(predictor="cn3", k_small=4, pad_deg=16, pad_deg2=16,
+               depth=1, trndeg=2, tstdeg=4, testbs=64, epochs=2,
+               losstrick="auc_loss")
+    tr = Trainer(cfg, ds)
+    assert tr._split is not None
+    state = tr.init_state(0)
+    rng = np.random.default_rng(0)
+    for epoch in range(2):
+        state, loss = tr.train_epoch(state, rng, epoch)
+        assert np.isfinite(loss)
+    res = tr.evaluate(state)
+    for k, v in res.items():
+        assert all(np.isfinite(x) for x in v)
