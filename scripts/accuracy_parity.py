@@ -170,6 +170,19 @@ def run_one(graph: str, variant: str, run_i: int, epochs: int,
     cfg = base_config(graph, epochs, predictor)
     for k, v in variant_overrides(variant, int(deg.max())).items():
         setattr(cfg, k, v)
+    # registry-only predictors (cn6 etc.) have no README command for the
+    # Planetoid sets, and the generic preset's batch_size can exceed the
+    # stand-in's train-edge count — the drop-tail PermIterator then runs
+    # ZERO batches and the run silently never trains.  Clamp to the
+    # largest power of two that fits (shared by every arm: A/B-consistent).
+    e_train = int(np.asarray(ds.split_edge["train"]["edge"]).shape[0])
+    if cfg.batch_size > e_train:
+        cfg.batch_size = max(256, 1 << int(np.log2(e_train)))
+        cfg.testbs = min(cfg.testbs, cfg.batch_size)
+        cfg.linkbatchsize = min(cfg.linkbatchsize or cfg.batch_size,
+                                cfg.batch_size)
+        print(f"  [batch clamp] {cfg.batch_size} (train edges {e_train})",
+              flush=True)
     if cfg.reorder == "bfs":
         ds = ds.reorder_bfs()
     tr = Trainer(cfg, ds)
