@@ -107,15 +107,16 @@ def main():
     params = state.params
 
     def enc(s):
-        x = tr.x + s.astype(tr.x.dtype)
-
-        def loss_fn(x):
-            h = tr.encoder.apply({"params": params["encoder"]}, x, g, True,
+        # ppa features are int32 (embedding path): differentiate the
+        # encoder PARAMS, scaling the loss by the carry to chain iterations
+        def loss_fn(p):
+            h = tr.encoder.apply({"params": p}, tr.x, g, True,
                                  rngs={"dropout": key})
-            return jnp.sum(h).astype(jnp.float32)
+            return jnp.sum(h.astype(jnp.float32)) * (1.0 + s * 1e-30)
 
-        dx = jax.grad(loss_fn)(x)
-        return dx.ravel()[0].astype(jnp.float32) * 1e-30
+        gr = jax.grad(loss_fn)(params["encoder"])
+        leaf = jax.tree_util.tree_leaves(gr)[0]
+        return leaf.ravel()[0].astype(jnp.float32) * 1e-30
 
     print(f"encoder_fwd+bwd          {chained(enc, 6):8.1f} ms", flush=True)
 
