@@ -23,18 +23,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ocn_tpu_jax_cache")
 import numpy as np
 
 
-def chained(f, n=10):
+def chained(f, n=10, args=()):
+    """Time f(carry, *args) inside one jitted scan.  ``args`` ride as jit
+    ARGUMENTS so the serialized HLO stays free of the N=576k graph payload
+    (closure constants blow the remote-compile HTTP 413 limit — CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
-    def body(s, _):
-        return f(s), 0
-
-    run = jax.jit(lambda s0: jax.lax.scan(body, s0, None, length=n)[0])
-    s = run(jnp.zeros((), jnp.float32))
+    run = jax.jit(lambda s0, *a: jax.lax.scan(
+        lambda s, _: (f(s, *a), 0), s0, None, length=n)[0])
+    s = run(jnp.zeros((), jnp.float32), *args)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
-    s = run(jnp.zeros((), jnp.float32))
+    s = run(jnp.zeros((), jnp.float32), *args)
     jax.block_until_ready(s)
     return (time.perf_counter() - t0) / n * 1e3
 
@@ -70,7 +71,10 @@ def main():
     state = tr.init_state(0)
     if tr._use_ell:
         tr._refresh_ell(np.random.default_rng(1))
-    g = tr.g
+        g = tr.g.with_ell(tr._ell["tbl1"], tr._ell["off1"])
+        tr.adj2 = tr.adj2.with_ell(tr._ell["tbl2"], tr._ell["off2"])
+    else:
+        g = tr.g
     key = jax.random.PRNGKey(0)
     c = tr._chunk()
     print(f"N={ds.n_nodes} nnz={int(np.asarray(g.indptr)[-1])} chunk={c} "
@@ -106,36 +110,38 @@ def main():
     state = holder[0]
     params = state.params
 
-    def enc(s):
+    def enc(s, penc, gg, xx):
         # ppa features are int32 (embedding path): differentiate the
         # encoder PARAMS, scaling the loss by the carry to chain iterations
         def loss_fn(p):
-            h = tr.encoder.apply({"params": p}, tr.x, g, True,
+            h = tr.encoder.apply({"params": p}, xx, gg, True,
                                  rngs={"dropout": key})
             return jnp.sum(h.astype(jnp.float32)) * (1.0 + s * 1e-30)
 
-        gr = jax.grad(loss_fn)(params["encoder"])
+        gr = jax.grad(loss_fn)(penc)
         leaf = jax.tree_util.tree_leaves(gr)[0]
         return leaf.ravel()[0].astype(jnp.float32) * 1e-30
 
-    print(f"encoder_fwd+bwd          {chained(enc, 6):8.1f} ms", flush=True)
+    print(f"encoder_fwd+bwd          "
+          f"{chained(enc, 6, (params['encoder'], g, tr.x)):8.1f} ms",
+          flush=True)
 
     x0 = jnp.asarray(
         np.random.default_rng(1).standard_normal((ds.n_nodes, cfg.hiddim)),
         tr.dtype)
 
-    def one_spmm(s):
-        x = x0 + s.astype(x0.dtype)
+    def one_spmm(s, xx, gg):
+        x = xx + s.astype(xx.dtype)
 
         def loss_fn(x):
-            y = spmm(g, x)
+            y = spmm(gg, x)
             return jnp.sum(y.astype(jnp.float32) ** 2)
 
         dx = jax.grad(loss_fn)(x)
         return dx.ravel()[0].astype(jnp.float32) * 1e-30
 
-    print(f"spmm_fwd+bwd (x1)        {chained(one_spmm, 6):8.1f} ms",
-          flush=True)
+    print(f"spmm_fwd+bwd (x1)        "
+          f"{chained(one_spmm, 6, (x0, g)):8.1f} ms", flush=True)
 
     h0 = jnp.asarray(
         np.random.default_rng(2).standard_normal((ds.n_nodes, cfg.hiddim)),
@@ -145,13 +151,13 @@ def main():
     corr = jnp.ones((c,), tr.dtype)
 
     def mk_chunk(kk):
-        def run(s):
-            h = h0 + s.astype(h0.dtype)
+        def run(s, hh, gg, a2, pp):
+            h = hh + s.astype(hh.dtype)
 
             def loss_fn(h):
                 out, _ = tr._score_chunk(
-                    params, state.ema, state.sched, h, g, ec, valid, key,
-                    True, adj2=tr.adj2, corr=corr, k=kk)
+                    pp, state.ema, state.sched, h, gg, ec, valid, key,
+                    True, adj2=a2, corr=corr, k=kk)
                 return jnp.sum(out).astype(jnp.float32)
 
             dh = jax.grad(loss_fn)(h)
@@ -159,8 +165,9 @@ def main():
 
         return run
 
-    k16 = chained(mk_chunk(cfg.k_small))
-    k64 = chained(mk_chunk(cfg.pad_deg))
+    cargs = (h0, g, tr.adj2, params)
+    k16 = chained(mk_chunk(cfg.k_small), args=cargs)
+    k64 = chained(mk_chunk(cfg.pad_deg), args=cargs)
     nsp, nsn = tr._split if tr._split is not None else (0, 0)
     nchunk = batch // c
     small = nsp + nsn
