@@ -137,3 +137,22 @@ def test_eval_sampling_incomplete_family():
     np.testing.assert_array_equal(a, b)  # deterministic eval
     c = tr_w._score_split(state, h, tr_w.g, edges, tr_w.adj2)
     assert not np.allclose(a, c)
+
+
+def test_k3_config_override():
+    """Config.k3 overrides cn6's A^3 row-gather width (0 = auto
+    min(pad_deg2, 16)); the tbl3 ELL table and the SDDMM fallback's
+    second-hop width follow it."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.15)
+    kw = dict(
+        dataset="Cora", predictor="cn6", model="puregcn", mplayers=1,
+        hiddim=16, batch_size=64, testbs=64, pad_deg=8, pad_deg2=8,
+        linkbatchsize=64, adj3_cap=64,
+    )
+    tr_auto = Trainer(Config(**kw), ds)
+    assert tr_auto._k3_width() == 8  # min(pad_deg2=8, 16)
+    tr_k = Trainer(Config(k3=4, **kw), ds)
+    assert tr_k._k3_width() == 4
+    if tr_k._use_ell:
+        tr_k._refresh_ell(np.random.default_rng(0))
+        assert tr_k._ell["tbl3"].shape[-1] == 4
