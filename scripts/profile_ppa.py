@@ -53,9 +53,10 @@ def main():
     batch = int(os.environ.get("P_BATCH", "16384"))
     chunk = int(os.environ.get("P_CHUNK", "512"))
     scale = float(os.environ.get("P_SCALE", "1.0"))
+    maskinput = os.environ.get("P_MASKINPUT", "1") == "1"
     cfg = Config(
         dataset="ppa", predictor="cn5", model="gcn", mplayers=1,
-        hiddim=64, batch_size=batch, testbs=batch, maskinput=True,
+        hiddim=64, batch_size=batch, testbs=batch, maskinput=maskinput,
         encoder_stack="ho", cn2_counts=True, ln=False, res=False, jk=False,
         gnndp=0.1, xdp=0.1, tdp=0.1, gnnedp=0.1, predp=0.1, preedp=0.0,
         pad_deg=64, pad_deg2=64, linkbatchsize=chunk, k_small=16,
