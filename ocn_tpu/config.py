@@ -188,6 +188,12 @@ class Config:
                                      # correlation-only deviation, PARITY.md.
                                      # False = reference value-mutation path.
     rec_k: int = 0                   # incomplete-CN family (cn2/cn3/cn4):
+                                     # -1 = AUTO (smallest power of two
+                                     # covering the 75th percentile of
+                                     # edge-endpoint degrees, clamped to
+                                     # [8, pad_deg] — picks the
+                                     # A/B-validated 16 on collab-class
+                                     # graphs, full width on dense ones).
                                      # frame width for the RECURSIVE scorer
                                      # (the depth-1 stop-gradient re-scoring
                                      # of B*resdeg potential edges — the

@@ -96,6 +96,22 @@ class Trainer:
             taildropout=cfg.tdp, noinputlin=cfg.loadx, stack=cfg.encoder_stack,
             apply_adjdrop=(cfg.encoder_stack == "ts"),
         )
+        if cfg.rec_k < 0 and cfg.predictor in SELF_BUILDING:
+            # auto rec_k (round 5, VERDICT r4 item 2): the recursion's
+            # candidate edges anchor at batch ENDPOINTS, whose degrees are
+            # size-biased (neighbor-of sampling) — cover their 75th
+            # percentile exactly, rounded up to a power of two, clamped to
+            # [8, pad_deg].  Reproduces the A/B-validated 16 on
+            # collab-class graphs (BASELINE.md: rec16 val-neutral) and
+            # degrades to full width on dense graphs (ppa-class -> pad_deg).
+            deg_np = np.bincount(
+                np.asarray(ds.edge_index[0]), minlength=ds.n_nodes)
+            ep = deg_np[np.asarray(ds.edge_index[1])]
+            q = float(np.quantile(ep, 0.75)) if ep.size else 8.0
+            r = 8
+            while r < min(cfg.pad_deg, q):
+                r *= 2
+            cfg.rec_k = min(r, cfg.pad_deg)
         self.predictor = build_predictor(
             cfg.predictor, cfg.hiddim, ds.n_nodes, **cfg.predictor_kwargs()
         )
