@@ -23,12 +23,14 @@ def main():
     from ocn_tpu.train.loop import Trainer
 
     batch = int(os.environ.get("OCN_BENCH_BATCH", "65536"))
+    pred = os.environ.get("OCN_BENCH_PREDICTOR", "cn5")
     cfg = Config(
-        dataset="collab", predictor="cn5", model="gcn", mplayers=3,
+        dataset="collab", predictor=pred, model="gcn", mplayers=3,
         hiddim=256, batch_size=batch, testbs=batch, maskinput=True,
         ln=True, res=True, jk=True, use_xlin=True, tailact=True,
         pad_deg=64, pad_deg2=64, linkbatchsize=4096, frame_group=8,
         k_small=16, dtype="bfloat16",
+        rec_k=int(os.environ.get("OCN_BENCH_RECK", "0")),
     )
     ds = synthetic_dataset("collab", seed=0).reorder_bfs()
     tr = Trainer(cfg, ds)
