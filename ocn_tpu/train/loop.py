@@ -1127,6 +1127,21 @@ class Trainer:
                 state, sched=self._set_alpha(state.sched, a))
         losses = []
         bs = cfg.batch_size
+        if e < bs and not getattr(self, "_warned_zero_batches", False):
+            # loud failure instead of silently never training: the
+            # drop-tail train iterator (reference PermIterator,
+            # utils.py:20-30) runs ZERO batches when batch_size exceeds the
+            # train-edge count — easy to hit with the generic preset
+            # fallback (registry-only predictors have no README command) on
+            # small graphs / synthetic_scale
+            import warnings
+
+            warnings.warn(
+                f"batch_size {bs} > {e} train edges: the drop-tail train "
+                f"iterator runs ZERO batches per epoch (reference "
+                f"PermIterator semantics) — nothing will train.  Reduce "
+                f"batch_size (<= {e}).", RuntimeWarning, stacklevel=2)
+            self._warned_zero_batches = True
         key = jax.random.PRNGKey(rng.integers(2**31))
         # train-mode PermIterator drops the ragged tail (utils.py:20-30)
         for i, start in enumerate(range(0, e - bs + 1, bs)):

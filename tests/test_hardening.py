@@ -156,3 +156,21 @@ def test_k3_config_override():
     if tr_k._use_ell:
         tr_k._refresh_ell(np.random.default_rng(0))
         assert tr_k._ell["tbl3"].shape[-1] == 4
+
+
+def test_zero_batch_epoch_warns():
+    """batch_size > train-edge count makes the drop-tail iterator run ZERO
+    batches (reference PermIterator semantics) — train_epoch must say so
+    loudly instead of silently never training (round-5 hardening; the
+    generic preset fallback for registry-only predictors hits this on
+    small stand-ins)."""
+    ds = synthetic_dataset("Cora", seed=0, scale=0.15)
+    cfg = Config(
+        dataset="Cora", predictor="cn5", model="puregcn", mplayers=1,
+        hiddim=16, batch_size=65536, testbs=64, pad_deg=8, pad_deg2=8,
+        linkbatchsize=64)
+    tr = Trainer(cfg, ds)
+    state = tr.init_state(0)
+    with pytest.warns(RuntimeWarning, match="ZERO batches"):
+        _, loss = tr.train_epoch(state, np.random.default_rng(0), 1)
+    assert loss == 0.0
