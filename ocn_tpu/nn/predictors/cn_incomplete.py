@@ -186,7 +186,7 @@ class IncompleteCNPredictor(nn.Module):
                 # scorer (reference model.py:926-946).  Depth-1 recursion
                 # rides the blocked depth-0 scorer (shared anchor windows).
                 rec_train = training and self.recursion_train_mode
-                if depth - 1 == 0 and self.cndeg <= 0:
+                if depth - 1 == 0 and self._blockable(g, res):
                     return jax.lax.stop_gradient(self._blocked_depth0(
                         x, g, anchor, res.ids, rec_train, None,
                         valid=res.mask))
@@ -241,7 +241,7 @@ class IncompleteCNPredictor(nn.Module):
         scorer (anchor windows shared across the R candidate copies)."""
         b, r = res.ids.shape
         rec_train = training and self.recursion_train_mode
-        if depth - 1 == 0 and self.cndeg <= 0:
+        if depth - 1 == 0 and self._blockable(g, res):
             prob = jax.lax.stop_gradient(
                 self._blocked_depth0(x, g, anchor, res.ids, rec_train, adj2,
                                      valid=res.mask))
@@ -259,6 +259,20 @@ class IncompleteCNPredictor(nn.Module):
         p0 = jax.nn.sigmoid(self.scale * (prob - self.offset))
         prob = self.alpha2.value * pt * p0 / (pt * p0 + 1 - p0)
         return res.with_values(res.val * prob * res.mask)
+
+    def _blockable(self, g: Graph, res: CNFrame) -> bool:
+        """Route a depth-1 recursion block through the blocked scorer.
+
+        Gated off for cndeg>0 (sample_frame would desync the shared ids)
+        and for LARGE blocks on a graph without ELL tables: the CSR-window
+        blocked eval at (B, testresdeg=128, K=64) materializes ~GB-scale
+        intermediates and OOMs a single chip (measured, bench_r5_cn3_eval),
+        where the ELL layout fits; the generic per-edge path (pre-round-5
+        behavior) handles the no-ELL fallback at its old speed."""
+        if self.cndeg > 0:
+            return False
+        k_frame = self.rec_k or self.k
+        return g.ell is not None or res.ids.size * k_frame <= 2 ** 22
 
     def _blocked_depth0(self, x, g, anchors, cand_ids, training, adj2,
                         valid=None):
