@@ -12,7 +12,11 @@ the tunnel cannot interleave dispatches.
 
 Components:
   outer_fb     full depth=1 chunk, value_and_grad (the real per-chunk cost)
-  d0_fb        depth=0 chunk, value_and_grad (outer minus recursion)
+  d0_fb        depth=0 chunk, value_and_grad — NOTE: an explicit depth=0
+               with module depth=1 runs at the RECURSION width (rec_k), not
+               pad_deg (`k_frame = self.k if depth == self.depth else
+               rec_k`), so this row UNDERSTATES the real outer-at-K=64
+               cost; outer_fb is the ground truth
   rec_fwd      ONE recursive body: depth-0 fwd at (C*resdeg) edges, rec_k
   rec_frames   frames+membership part of rec_fwd (gathers, no h)
   rec_colnorm  the two n_nodes-domain colnorm scatters of rec_fwd
