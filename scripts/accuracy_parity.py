@@ -76,6 +76,12 @@ def variant_overrides(name: str, max_deg: int) -> dict:
         # on a graph where the caps bind (Cora stand-in max deg 104 > 64)
         "capped_ell": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                            adj2_cap=1024, ell_tables=True),
+        # wider-cap arm (round 5): the Pubmed half-scale A/B showed the
+        # first exact>capped val gap in the matrix — this tests whether
+        # pad 128 closes it (caps are a TPU overlay knob, free to widen)
+        "capped128_ell": dict(pad_deg=128, pad_deg2=128,
+                              two_hop_mode="gather", adj2_cap=1024,
+                              ell_tables=True),
         # production + dual-K occupancy split
         "capped_k16": dict(pad_deg=64, pad_deg2=64, two_hop_mode="gather",
                            adj2_cap=1024, k_small=16, ell_tables=False),
