@@ -17,6 +17,6 @@ with open('results/parity_sbm.jsonl.tmp', 'w') as f:
 os.replace('results/parity_sbm.jsonl.tmp', 'results/parity_sbm.jsonl')
 PY
 python -u scripts/accuracy_parity.py --graph sbm --predictor cn3 --epochs 20 \
-  --eval_every 4 --runs 3 --variants capped_t32,rec16_t32 \
+  --eval_every 4 --runs 3 --variants rec16_t32,capped_t32 \
   --out results/parity_sbm.jsonl >> results/parity_sbm_cn3_8seed.log 2>&1
 echo CN3_CLEANSEED_DONE
