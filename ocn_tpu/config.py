@@ -420,6 +420,14 @@ _TPU_OVERLAYS = {
     # item 4).
     ("ppa", "cn5"): dict(k_small=16, adj2_cap=1024),
     ("ppa", "cn7"): dict(k_small=16, adj2_cap=1024),
+    # Pubmed frame-width plan: the half-scale A/B (results/
+    # parity_pubmed_half.jsonl, round 5) is the one graph in the study
+    # matrix where exact semantics beat the pad-64 production caps on val
+    # (heavier Zipf tail; pad 64 binds).  pad 128 recovers ~30-40% of the
+    # gap (val Hits@50 0.0731 -> 0.0799, exact 0.0965 at 1 seed) for ~1.3x
+    # step cost — caps are a TPU-native knob, free to widen per-dataset.
+    ("Pubmed", "cn5"): dict(pad_deg=128, pad_deg2=128),
+    ("Pubmed", "cn7"): dict(pad_deg=128, pad_deg2=128),
     # citation2 memory plan: N=2.9M makes the A^2 table dominant.  At the
     # round-4 gather-only layout cap 256 is ~3 GB and measured
     # throughput-identical to cap 128 at full scale (20.5k edges/s both,
